@@ -1,0 +1,99 @@
+"""YAML recipe loading with dotted ``-o key=value`` overrides.
+
+Mirrors the reference launch surface
+``nest task run config/cod.yml -o work_dir=./output -o launcher=pytorch -m val``
+(/root/reference/script/train.sh:1): same YAML schema (train_cfg,
+train_dataloader, model, optim_wrapper, param_scheduler, val_evaluator,
+default_hooks, custom_hooks — /root/reference/config/cod.yml:6-144), same
+``-o`` dotted-path override semantics, plus ``_base_`` includes.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import os
+from typing import Any, List, Optional
+
+import yaml
+
+
+def _deep_update(base: dict, new: dict) -> dict:
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def _parse_value(text: str) -> Any:
+    """Parse an override value: python literal if possible, else string."""
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        lowered = text.lower()
+        if lowered in ("true", "false"):
+            return lowered == "true"
+        if lowered in ("null", "none"):
+            return None
+        return text
+
+
+def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
+    parts = dotted_key.split(".")
+    node = cfg
+    for p in parts[:-1]:
+        if isinstance(node, list):
+            node = node[int(p)]
+        else:
+            node = node.setdefault(p, {})
+    last = parts[-1]
+    if isinstance(node, list):
+        node[int(last)] = value
+    else:
+        node[last] = value
+
+
+def get_dotted(cfg: dict, dotted_key: str, default: Any = None) -> Any:
+    node: Any = cfg
+    for p in dotted_key.split("."):
+        if isinstance(node, list):
+            try:
+                node = node[int(p)]
+            except (ValueError, IndexError):
+                return default
+        elif isinstance(node, dict) and p in node:
+            node = node[p]
+        else:
+            return default
+    return node
+
+
+def load_config(path: str, overrides: Optional[List[str]] = None) -> dict:
+    """Load a YAML recipe, resolving ``_base_`` includes and ``-o`` overrides.
+
+    ``overrides`` entries are ``"dotted.key=value"`` strings.
+    """
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+
+    bases = cfg.pop("_base_", [])
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: dict = {}
+    for base in bases:
+        base_path = base if os.path.isabs(base) else os.path.join(os.path.dirname(path), base)
+        _deep_update(merged, load_config(base_path))
+    _deep_update(merged, cfg)
+
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        key, _, raw = ov.partition("=")
+        set_dotted(merged, key.strip(), _parse_value(raw.strip()))
+    return merged
+
+
+def clone(cfg: dict) -> dict:
+    return copy.deepcopy(cfg)

@@ -1,0 +1,94 @@
+"""Parity tests for dgtd_tpu.utils.image against torch op semantics.
+
+torch (CPU) is the oracle for interpolate/pool/unfold/fft behavior, mirroring
+the reference's kernel-vs-pytorch-reference test pattern
+(/root/reference/twig/ops/test.py).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from dgtd_tpu.utils import image as I
+
+
+def to_nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+def from_torch(t: torch.Tensor) -> np.ndarray:
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("in_size,out_size", [(12, 384), (48, 384), (96, 24), (13, 7), (7, 13)])
+@pytest.mark.parametrize("align", [False, True])
+def test_resize_bilinear_matches_torch(in_size, out_size, align):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, in_size, in_size, 3).astype(np.float32)
+    ours = np.asarray(I.resize_bilinear(jnp.asarray(x), (out_size, out_size), align))
+    ref = from_torch(
+        F.interpolate(to_nchw(x), size=(out_size, out_size), mode="bilinear", align_corners=align)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=3e-5)
+
+
+def test_resize_scale_floor():
+    x = np.random.RandomState(1).randn(1, 11, 11, 2).astype(np.float32)
+    ours = np.asarray(I.resize_scale(jnp.asarray(x), 0.5, align_corners=True))
+    ref = from_torch(
+        F.interpolate(to_nchw(x), scale_factor=0.5, mode="bilinear", align_corners=True)
+    )
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kernel,stride,pad", [(31, 1, 15), (3, 1, 0), (3, 2, 1)])
+def test_avg_pool_matches_torch(kernel, stride, pad):
+    x = np.random.RandomState(2).randn(2, 33, 33, 4).astype(np.float32)
+    ours = np.asarray(I.avg_pool(jnp.asarray(x), kernel, stride, pad))
+    ref = from_torch(F.avg_pool2d(to_nchw(x), kernel, stride, pad))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_extract_patches_matches_unfold():
+    x = np.random.RandomState(3).randn(2, 12, 12, 5).astype(np.float32)
+    k, pad = 7, 3
+    ours = np.asarray(I.extract_patches(jnp.asarray(x), k, pad))  # (B,H,W,C,49)
+    ref = F.unfold(to_nchw(x), kernel_size=k, padding=pad)  # (B, C*49, L)
+    b, h, w, c = x.shape
+    ref = ref.numpy().reshape(b, c, k * k, h, w).transpose(0, 3, 4, 1, 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("size,rate", [(384, 0.3), (12, 0.5), (64, 0.25)])
+def test_fft_high_pass_matches_torch(size, rate):
+    x = np.random.RandomState(4).rand(1, size, size, 3).astype(np.float32)
+    ours = np.asarray(I.fft_high_pass(jnp.asarray(x), rate))
+
+    t = to_nchw(x)
+    mask = torch.zeros(t.shape)
+    w, h = t.shape[-2:]
+    line = int((w * h * rate) ** 0.5 // 2)
+    mask[:, :, w // 2 - line : w // 2 + line, h // 2 - line : h // 2 + line] = 1
+    spec = torch.fft.fftshift(torch.fft.fft2(t, norm="forward"))
+    spec = spec * (1 - mask)
+    inv = torch.fft.ifft2(torch.fft.ifftshift(spec), norm="forward").real
+    ref = from_torch(torch.abs(inv))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_reflect_pad():
+    x = np.random.RandomState(5).randn(1, 6, 6, 2).astype(np.float32)
+    ours = np.asarray(I.reflect_pad(jnp.asarray(x), 1))
+    ref = from_torch(F.pad(to_nchw(x), (1, 1, 1, 1), mode="reflect"))
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_max_pool():
+    x = np.random.RandomState(6).randn(2, 8, 8, 3).astype(np.float32)
+    ours = np.asarray(I.max_pool(jnp.asarray(x), 2, 2))
+    ref = from_torch(F.max_pool2d(to_nchw(x), 2, 2))
+    np.testing.assert_allclose(ours, ref)
