@@ -3,17 +3,24 @@
 This is the TPU-world replacement for "fake backends" — multi-chip sharding
 is validated on host CPU devices (SURVEY.md §4), and numerics are checked at
 float32 on CPU where torch (CPU) serves as the oracle for op semantics.
+
+Note: this image pre-imports jax at interpreter startup (axon sitecustomize),
+so the platform switch must go through jax.config, not env vars.
 """
 
 import os
-
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # older jax: fall back to XLA flag (works pre-backend-init)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
