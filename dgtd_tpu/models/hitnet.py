@@ -1,0 +1,143 @@
+"""HitNet: prompt-injected PVTv2 + iterative coarse-to-fine CFM decoder.
+
+Reference: ``Hitnet`` at /root/reference/twig/model/cod.py:685-807 —
+  * PVTv2-b2 backbone whose blocks receive texture-diffusion prompts
+    (cod.py:749, injection at cod.py:1455-1509);
+  * per-stage 1x1 "translayers" to 32 channels (cod.py:698-701);
+  * a 4-iteration refinement loop: the stride-32 feature is re-seeded each
+    iteration from the previous CFM output via an 8x8/stride-4 compress conv,
+    decoded through CAB stacks with channel growth 32->64->96, producing one
+    stride-8 prediction per iteration (cod.py:770-797);
+  * SAM dual squeeze-excitation fusion of the high-res CIM feature with the
+    final CFM feature -> second prediction (cod.py:799-806).
+
+All four iterations share decoder weights (same modules called repeatedly),
+so under jit the loop unrolls into one fused graph; each iteration's
+prediction is upsampled x8 (half-pixel bilinear) to full res.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..utils.image import resize_bilinear
+from .diffusion import PromptDecoder, PromptEncoder
+from .layers import BasicConv2d, CAB, Conv, SAMFusion
+from .pvt import PVT_V2_CONFIGS, PVTv2
+
+Dtype = Any
+
+
+class CABStack(nn.Module):
+    n: int = 2
+    reduction: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.n):
+            x = CAB(reduction=self.reduction, dtype=self.dtype, name=f"cab{i}")(x)
+        return x
+
+
+class HitNet(nn.Module):
+    """Returns (texture_map, [4 staged logits], second logits) at input res."""
+
+    channel: int = 32
+    variant: str = "b2"
+    # diffusion hyperparams (the reference's file-copied ablation axes)
+    latent_dim: int = 24
+    grid: int = 12
+    freq_rate: float = 0.3
+    diffusion_kernel: int = 7
+    diffusion_steps: int = 4
+    fft_at_grid: bool = False
+    refine_iters: int = 4
+    use_prompts: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, depth, train: bool = False):
+        dims, _, _, depths, _ = PVT_V2_CONFIGS[self.variant]
+        ch = self.channel
+
+        # ------- backbone with texture-diffusion prompts -------
+        if self.use_prompts:
+            texture, embedding = PromptEncoder(
+                latent_dim=self.latent_dim,
+                grid=self.grid,
+                freq_rate=self.freq_rate,
+                kernel=self.diffusion_kernel,
+                steps=self.diffusion_steps,
+                fft_at_grid=self.fft_at_grid,
+                dtype=self.dtype,
+                name="prompt_encoder",
+            )(image, depth, train)
+            prompts = [
+                PromptDecoder(
+                    dims[s], depths[s], self.latent_dim, dtype=self.dtype, name=f"prompt_decoder{s}"
+                )(embedding)
+                for s in range(4)
+            ]
+        else:
+            texture, prompts = None, None
+
+        x1, x2, x3, x4 = PVTv2(variant=self.variant, dtype=self.dtype, name="backbone")(
+            image, prompts, train
+        )
+
+        # ------- CIM + translayers -------
+        cim = CABStack(dtype=self.dtype, name="decoder_level1")(x1)
+        x2_t = BasicConv2d(ch, 1, dtype=self.dtype, name="translayer2_1")(x2, train)
+        x3_t = BasicConv2d(ch, 1, dtype=self.dtype, name="translayer3_1")(x3, train)
+        x4_t = BasicConv2d(ch, 1, dtype=self.dtype, name="translayer4_1")(x4, train)
+
+        dec4 = CABStack(dtype=self.dtype, name="decoder_level4")
+        dec3 = CABStack(dtype=self.dtype, name="decoder_level3")
+        dec2 = CABStack(dtype=self.dtype, name="decoder_level2")
+        conv4 = BasicConv2d(ch, 3, padding=1, dtype=self.dtype, name="conv4")
+        compress_out = BasicConv2d(ch, 8, stride=4, padding=2, dtype=self.dtype, name="compress_out")
+        compress_out2 = BasicConv2d(ch, 1, dtype=self.dtype, name="compress_out2")
+        out_cfm = Conv(1, 1, dtype=self.dtype, name="out_CFM")
+
+        h8, w8 = x2.shape[1], x2.shape[2]  # stride-8 grid
+        full = (image.shape[1], image.shape[2])
+
+        # ------- iterative refinement (cod.py:770-797) -------
+        stage_preds: List[jnp.ndarray] = []
+        cfm = None
+        for it in range(self.refine_iters):
+            if cfm is not None:
+                x4_t = compress_out(
+                    jnp.concatenate(
+                        [resize_bilinear(x4_t, (h8, w8), align_corners=True), cfm], axis=-1
+                    ),
+                    train,
+                )
+            x4_f = dec4(x4_t)
+            x3_f = dec3(
+                jnp.concatenate(
+                    [x3_t, resize_bilinear(x4_f, (x3.shape[1], x3.shape[2]), align_corners=True)],
+                    axis=-1,
+                )
+            )
+            if it > 0:
+                x2_t = compress_out2(jnp.concatenate([x2_t, cfm], axis=-1), train)
+            x2_f = dec2(
+                jnp.concatenate([x2_t, resize_bilinear(x3_f, (h8, w8), align_corners=True)], axis=-1)
+            )
+            cfm = conv4(x2_f, train)
+            pred = out_cfm(cfm)
+            stage_preds.append(resize_bilinear(pred, full))
+
+        # ------- SAM fusion (cod.py:799-806) -------
+        t2 = BasicConv2d(ch, 1, dtype=self.dtype, name="translayer2_0")(cim, train)
+        t2 = resize_bilinear(t2, (h8, w8), align_corners=True)  # down05
+        sam = SAMFusion(dtype=self.dtype, name="sam")(cfm, t2)
+        pred2 = Conv(1, 1, dtype=self.dtype, name="out_SAM")(sam)
+        pred2 = resize_bilinear(pred2, full)
+
+        return texture, stage_preds, pred2

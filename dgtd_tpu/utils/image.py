@@ -83,6 +83,20 @@ def resize_bilinear(
     return compute.astype(dtype)
 
 
+def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Nearest-neighbor resize, torch ``F.interpolate(mode='nearest')`` parity:
+    src index = floor(dst * in / out). Used by the reference's texture
+    downsample (``F.interpolate(x, size=[H,H])`` with default mode,
+    cod.py:1295)."""
+    b, h, w, c = x.shape
+    out_h, out_w = int(size[0]), int(size[1])
+    if (h, w) == (out_h, out_w):
+        return x
+    rows = np.floor(np.arange(out_h) * (h / out_h)).astype(np.int32)
+    cols = np.floor(np.arange(out_w) * (w / out_w)).astype(np.int32)
+    return x[:, jnp.asarray(rows)][:, :, jnp.asarray(cols)]
+
+
 def resize_scale(x: jax.Array, scale: float, align_corners: bool = False) -> jax.Array:
     """``F.interpolate(scale_factor=scale)`` parity: floor(size * scale)."""
     b, h, w, c = x.shape
