@@ -1,0 +1,194 @@
+"""Streaming metric evaluators with reference-parity reduction.
+
+The reference wraps *cumulative* py_sod_metrics evaluators: every batch it
+steps the persistent evaluator and appends the cumulative result-so-far, then
+``compute_metrics`` averages the appended values (twig/metric/Smeasure.py:18-37
+— i.e. with val batch_size 1 the reported number is the mean over k of the
+prefix-cumulative metric, NOT the plain dataset mean; SURVEY.md §2.6).
+
+Each evaluator here reports both:
+  * ``parity`` reduction (default): exact replica of that quirk;
+  * ``strict`` reduction: the plain per-image mean (curve metrics: max of the
+    dataset-mean curve), what py_sod_metrics would report standalone.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.registry import METRICS, export
+from . import sod_metrics as S
+
+
+class BaseSODMetric:
+    """Shared machinery: uint8 conversion, per-image stepping, reductions."""
+
+    default_prefix = "COD"
+
+    def __init__(self, collect_device: str = "cpu", prefix: Optional[str] = None, data_range: float = 1.0):
+        self.prefix = prefix or self.default_prefix
+        self.reset()
+
+    def reset(self):
+        self._appended: List[float] = []
+        self._count = 0
+        self._state: Dict[str, np.ndarray] = {}
+
+    # -- subclass API ------------------------------------------------------
+    def _step(self, pred: np.ndarray, gt: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def _cumulative_value(self) -> float:
+        raise NotImplementedError
+
+    name = "metric"
+
+    # ----------------------------------------------------------------------
+    def process(self, preds, gts) -> None:
+        """preds/gts: (B, H, W) or (B, H, W, 1) float arrays in [0, 1]."""
+        preds = np.asarray(preds)
+        gts = np.asarray(gts)
+        if preds.ndim == 4:
+            preds = preds[..., 0]
+            gts = gts[..., 0]
+        preds_u8 = (preds * 255).astype(np.uint8)
+        gts_u8 = (gts * 255).astype(np.uint8)
+        for p, g in zip(preds_u8, gts_u8):
+            pred, gt = S.prepare(p, g)
+            self._step(pred, gt)
+            self._count += 1
+        self._appended.append(self._cumulative_value())
+
+    def compute(self) -> Dict[str, float]:
+        parity = float(np.mean(self._appended)) if self._appended else float("nan")
+        return {
+            f"{self.prefix}/{self.name}": parity,
+            f"{self.prefix}/{self.name}_strict": self._strict_value(),
+        }
+
+    def _strict_value(self) -> float:
+        return self._cumulative_value()
+
+
+@export
+@METRICS.register
+class Smeasure(BaseSODMetric):
+    """S-measure (twig/metric/Smeasure.py:8-37)."""
+
+    name = "Smeasure"
+
+    def reset(self):
+        super().reset()
+        self._sum = 0.0
+
+    def _step(self, pred, gt):
+        self._sum += S.smeasure(pred, gt)
+
+    def _cumulative_value(self):
+        return self._sum / max(self._count, 1)
+
+
+@export
+@METRICS.register
+class MAE(BaseSODMetric):
+    """MAE (twig/metric/MAE.py:8-37)."""
+
+    name = "MAE"
+
+    def reset(self):
+        super().reset()
+        self._sum = 0.0
+
+    def _step(self, pred, gt):
+        self._sum += S.mae(pred, gt)
+
+    def _cumulative_value(self):
+        return self._sum / max(self._count, 1)
+
+
+class _CurveMetric(BaseSODMetric):
+    """Curve metrics report max over the running mean 256-point curve."""
+
+    def reset(self):
+        super().reset()
+        self._curve_sum = np.zeros(256, np.float64)
+
+    def _cumulative_value(self):
+        return float((self._curve_sum / max(self._count, 1)).max())
+
+
+@export
+@METRICS.register
+class Fmeasure(_CurveMetric):
+    """max F-measure over 256 thresholds (twig/metric/Fmeasure.py:8-37)."""
+
+    name = "Fmeasure"
+
+    def _step(self, pred, gt):
+        fg_hist, bg_hist = S.threshold_histograms(pred, gt)
+        self._curve_sum += S.fmeasure_curve(fg_hist, bg_hist, int(np.count_nonzero(gt)))
+
+
+@export
+@METRICS.register
+class Emeasure(_CurveMetric):
+    """max E-measure over 256 thresholds (twig/metric/Emeasure.py:8-36)."""
+
+    name = "Emeasure"
+
+    def _step(self, pred, gt):
+        fg_hist, bg_hist = S.threshold_histograms(pred, gt)
+        self._curve_sum += S.emeasure_curve(
+            fg_hist, bg_hist, int(np.count_nonzero(gt)), gt.size
+        )
+
+
+@export
+@METRICS.register
+class WeightedFmeasure(BaseSODMetric):
+    """Weighted F-measure (registered but disabled in reference recipes —
+    twig/metric/WeightedFmeasure.py:1-37)."""
+
+    name = "WeightedFmeasure"
+
+    def reset(self):
+        super().reset()
+        self._sum = 0.0
+
+    def _step(self, pred, gt):
+        self._sum += S.weighted_fmeasure(pred, gt)
+
+    def _cumulative_value(self):
+        return self._sum / max(self._count, 1)
+
+
+@export
+@METRICS.register
+class meanIntersectionOverUnion:
+    """Binary/softmax mIoU (twig/metric/mIOU.py:8-71). Registered surface —
+    not used by either recipe's val_evaluator."""
+
+    def __init__(self, num_classes: int = 2, threshold: float = 0.5, prefix: str = "COD"):
+        self.num_classes = num_classes
+        self.threshold = threshold
+        self.prefix = prefix
+        self.reset()
+
+    def reset(self):
+        self._ious: List[float] = []
+
+    def process(self, preds, gts):
+        preds = np.asarray(preds)
+        gts = np.asarray(gts)
+        if preds.ndim == 4:
+            preds = preds[..., 0]
+            gts = gts[..., 0]
+        for p, g in zip(preds, gts):
+            pc = (p >= self.threshold).astype(np.int64)
+            gc = (g >= 0.5).astype(np.int64)
+            self._ious.append(S.miou(pc, gc, self.num_classes))
+
+    def compute(self):
+        return {f"{self.prefix}/mIoU": float(np.mean(self._ious)) if self._ious else float("nan")}

@@ -1,0 +1,146 @@
+"""Metric suite validation.
+
+Oracles: naive per-threshold / per-pixel implementations written directly from
+the E-measure spec preserved in the reference (twig/metric/Emeasure.py:42-242)
+and the standard S/F-measure definitions — independent of the vectorized
+histogram-cumsum forms under test.
+"""
+
+import numpy as np
+import pytest
+
+from dgtd_tpu.metrics import sod_metrics as S
+from dgtd_tpu.metrics.evaluators import Emeasure, Fmeasure, MAE, Smeasure, WeightedFmeasure
+
+EPS = np.spacing(1)
+
+
+def make_pair(seed=0, size=32):
+    rng = np.random.RandomState(seed)
+    pred_u8 = (rng.rand(size, size) * 255).astype(np.uint8)
+    gt_u8 = np.where(rng.rand(size, size) > 0.6, 255, 0).astype(np.uint8)
+    return pred_u8, gt_u8
+
+
+def naive_f_at_threshold(q, gt, thr, beta=0.3):
+    binary = q >= thr
+    tp = np.count_nonzero(binary & gt)
+    p_count = max(np.count_nonzero(binary), 1)
+    t = max(np.count_nonzero(gt), 1)
+    pre, rec = tp / p_count, tp / t
+    if (1 + beta) * pre * rec == 0:
+        return 0.0
+    return (1 + beta) * pre * rec / (beta * pre + rec)
+
+
+def test_fmeasure_curve_matches_naive():
+    pred_u8, gt_u8 = make_pair(0)
+    pred, gt = S.prepare(pred_u8, gt_u8)
+    fg, bg = S.threshold_histograms(pred, gt)
+    curve = S.fmeasure_curve(fg, bg, int(np.count_nonzero(gt)))
+    q = (pred * 255).astype(np.uint8)
+    naive = np.array([naive_f_at_threshold(q, gt, 255 - i) for i in range(256)])
+    np.testing.assert_allclose(curve, naive, rtol=1e-12)
+
+
+def naive_em_at_threshold(q, gt, thr):
+    """Per-pixel enhanced alignment matrix (original E-measure definition)."""
+    binary = (q >= thr).astype(np.float64)
+    gtf = gt.astype(np.float64)
+    if gtf.sum() == 0:
+        enhanced = (1.0 - binary).sum()
+    elif gtf.sum() == gtf.size:
+        enhanced = binary.sum()
+    else:
+        dp = binary - binary.mean()
+        dg = gtf - gtf.mean()
+        align = 2 * dp * dg / (dp**2 + dg**2 + EPS)
+        enhanced = (((align + 1) ** 2) / 4).sum()
+    return enhanced / (gt.size - 1 + EPS)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_emeasure_curve_matches_naive(seed):
+    pred_u8, gt_u8 = make_pair(seed)
+    pred, gt = S.prepare(pred_u8, gt_u8)
+    fg, bg = S.threshold_histograms(pred, gt)
+    curve = S.emeasure_curve(fg, bg, int(np.count_nonzero(gt)), gt.size)
+    q = (pred * 255).astype(np.uint8)
+    for i in [0, 17, 100, 255]:
+        naive = naive_em_at_threshold(q, gt, 255 - i)
+        np.testing.assert_allclose(curve[i], naive, rtol=1e-9)
+
+
+def test_emeasure_degenerate_gt():
+    pred_u8 = (np.random.RandomState(3).rand(16, 16) * 255).astype(np.uint8)
+    pred, _ = S.prepare(pred_u8, pred_u8)
+    for gt in [np.zeros((16, 16), bool), np.ones((16, 16), bool)]:
+        fg, bg = S.threshold_histograms(pred, gt)
+        curve = S.emeasure_curve(fg, bg, int(np.count_nonzero(gt)), gt.size)
+        # py_sod_metrics parity: the degenerate full-gt case divides a count up
+        # to gt_size by (gt_size - 1), so em may slightly exceed 1.
+        assert np.all(curve >= 0) and np.all(curve <= gt.size / (gt.size - 1) + 1e-9)
+
+
+def test_smeasure_degenerate_and_perfect():
+    pred = np.full((16, 16), 0.25)
+    assert S.smeasure(pred, np.zeros((16, 16), bool)) == pytest.approx(0.75)
+    assert S.smeasure(pred, np.ones((16, 16), bool)) == pytest.approx(0.25)
+    gt = np.zeros((32, 32), bool)
+    gt[8:24, 8:24] = True
+    assert S.smeasure(gt.astype(np.float64), gt) > 0.95
+
+
+def test_smeasure_matches_matlab_conventions():
+    # centroid / quadrant weighting: asymmetric object
+    gt = np.zeros((20, 30), bool)
+    gt[2:8, 3:12] = True
+    pred = np.clip(gt.astype(np.float64) * 0.8 + 0.05, 0, 1)
+    val = S.smeasure(pred, gt)
+    assert 0.5 < val < 1.0
+
+
+def test_mae():
+    pred_u8, gt_u8 = make_pair(4)
+    pred, gt = S.prepare(pred_u8, gt_u8)
+    assert S.mae(pred, gt) == pytest.approx(np.mean(np.abs(pred - gt.astype(float))))
+
+
+def test_weighted_fmeasure_properties():
+    gt = np.zeros((32, 32), bool)
+    gt[10:20, 10:20] = True
+    perfect = S.weighted_fmeasure(gt.astype(np.float64), gt)
+    assert perfect == pytest.approx(1.0, abs=1e-6)
+    inverted = S.weighted_fmeasure(1.0 - gt.astype(np.float64), gt)
+    assert inverted < 0.2
+    assert S.weighted_fmeasure(np.random.rand(32, 32), np.zeros((32, 32), bool)) == 0.0
+
+
+def test_parity_reduction_is_mean_of_prefix_means():
+    """The evaluator must replicate the reference's cumulative-average quirk."""
+    m = MAE()
+    rng = np.random.RandomState(5)
+    vals = []
+    for i in range(4):
+        pred = rng.rand(1, 16, 16).astype(np.float32)
+        gt = (rng.rand(1, 16, 16) > 0.5).astype(np.float32)
+        m.process(pred, gt)
+        p, g = S.prepare((pred[0] * 255).astype(np.uint8), (gt[0] * 255).astype(np.uint8))
+        vals.append(S.mae(p, g))
+    prefix_means = [np.mean(vals[: i + 1]) for i in range(4)]
+    out = m.compute()
+    assert out["COD/MAE"] == pytest.approx(np.mean(prefix_means))
+    assert out["COD/MAE_strict"] == pytest.approx(np.mean(vals))
+
+
+def test_curve_evaluator_runs():
+    rng = np.random.RandomState(6)
+    for cls in [Fmeasure, Emeasure, Smeasure, WeightedFmeasure]:
+        m = cls()
+        for _ in range(3):
+            pred = rng.rand(2, 24, 24).astype(np.float32)
+            gt = (rng.rand(2, 24, 24) > 0.5).astype(np.float32)
+            m.process(pred, gt)
+        out = m.compute()
+        for v in out.values():
+            assert np.isfinite(v)
