@@ -22,3 +22,11 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+# Importing the component packages populates the registries (models, datasets,
+# metrics, hooks) so YAML `type:` names resolve — the package-import analog of
+# NEST loading twig/* as plugin modules.
+from . import models  # noqa: E402,F401
+from .data import datasets  # noqa: E402,F401
+from .metrics import evaluators  # noqa: E402,F401
+from .train import hooks  # noqa: E402,F401

@@ -44,6 +44,8 @@ class CODNet(nn.Module):
     diffusion_kernel: int = 7
     diffusion_steps: int = 4
     fft_at_grid: bool = False
+    convnext_dims: tuple = (128, 256, 512, 1024)
+    convnext_depths: tuple = (3, 3, 27, 3)
     refine_iters: int = 4
     use_prompts: bool = True
     dtype: Dtype = jnp.float32
@@ -59,6 +61,8 @@ class CODNet(nn.Module):
             diffusion_kernel=self.diffusion_kernel,
             diffusion_steps=self.diffusion_steps,
             fft_at_grid=self.fft_at_grid,
+            convnext_dims=tuple(self.convnext_dims),
+            convnext_depths=tuple(self.convnext_depths),
             refine_iters=self.refine_iters,
             use_prompts=self.use_prompts,
             dtype=self.dtype,

@@ -98,6 +98,8 @@ class PromptEncoder(nn.Module):
     kernel: int = 7
     steps: int = 4
     fft_at_grid: bool = False
+    convnext_dims: Tuple[int, ...] = (128, 256, 512, 1024)
+    convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -141,7 +143,11 @@ class PromptEncoder(nn.Module):
 
         # ConvNeXt-FPN embedding of diffused depth + image (cod.py:1302)
         embedding = ConvNeXtFPNEncoder(
-            out_dim=24, dtype=self.dtype, name="encoder2"
+            out_dim=24,
+            dims=tuple(self.convnext_dims),
+            depths=tuple(self.convnext_depths),
+            dtype=self.dtype,
+            name="encoder2",
         )(diffused + image, train=train)
         return texture, embedding
 

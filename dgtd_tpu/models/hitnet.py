@@ -55,6 +55,8 @@ class HitNet(nn.Module):
     diffusion_kernel: int = 7
     diffusion_steps: int = 4
     fft_at_grid: bool = False
+    convnext_dims: tuple = (128, 256, 512, 1024)
+    convnext_depths: tuple = (3, 3, 27, 3)
     refine_iters: int = 4
     use_prompts: bool = True
     dtype: Dtype = jnp.float32
@@ -73,6 +75,8 @@ class HitNet(nn.Module):
                 kernel=self.diffusion_kernel,
                 steps=self.diffusion_steps,
                 fft_at_grid=self.fft_at_grid,
+                convnext_dims=tuple(self.convnext_dims),
+                convnext_depths=tuple(self.convnext_depths),
                 dtype=self.dtype,
                 name="prompt_encoder",
             )(image, depth, train)

@@ -1,0 +1,166 @@
+"""Runner hooks: logging, checkpointing, pretrained-weight init.
+
+Reference surface: MMEngine LoggerHook/CheckpointHook (config/cod.yml:131-139)
+and the custom init hooks ``our_init`` (cod.py:230-300: loads
+pretrain/pvt_v2_b2.pth into the backbone and convnext_base_22k_224.pth into
+the ConvNeXt tower before train, a full checkpoint before val),
+``baseline_init`` (baseline.py:199-269) and ``PretrainInitHook``
+(dqnet.py:161-208). Here pretrained weights arrive as converted .npz/orbax
+trees produced by ``tools/convert_ckpt.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..core.registry import HOOKS, export
+
+
+class Hook:
+    priority = 50
+
+    def before_train(self, runner):  # noqa: D401
+        pass
+
+    def before_val(self, runner):
+        pass
+
+    def after_train_iter(self, runner, metrics: Dict[str, Any]):
+        pass
+
+    def after_train_epoch(self, runner):
+        pass
+
+
+@export
+@HOOKS.register
+class LoggerHook(Hook):
+    """Interval-based JSONL + stdout training logger."""
+
+    def __init__(self, interval: int = 20, ignore_last: bool = False):
+        self.interval = interval
+        self._t0 = None
+        self._last_step = 0
+
+    def before_train(self, runner):
+        self._t0 = time.time()
+        self._last_step = int(runner.state.step)
+
+    def after_train_iter(self, runner, metrics):
+        step = int(runner.state.step)
+        if step % self.interval != 0:
+            return
+        now = time.time()
+        steps = step - self._last_step
+        ips = steps * runner.batch_size / max(now - self._t0, 1e-9)
+        self._t0, self._last_step = now, step
+        record = {
+            "step": step,
+            "epoch": runner.epoch,
+            "imgs_per_sec": round(ips, 2),
+            **{k: round(float(v), 5) for k, v in metrics.items()},
+        }
+        runner.log(record)
+
+
+@export
+@HOOKS.register
+class CheckpointHook(Hook):
+    """Epoch-interval orbax checkpoints: work_dir/epoch_N (CheckpointHook parity)."""
+
+    def __init__(self, interval: int = 10, by_epoch: bool = True, max_keep: Optional[int] = None):
+        self.interval = interval
+        self.max_keep = max_keep
+
+    def after_train_epoch(self, runner):
+        if runner.epoch % self.interval == 0:
+            runner.save_checkpoint(f"epoch_{runner.epoch}")
+
+
+def load_npz_tree(path: str) -> Dict[str, np.ndarray]:
+    """Flat {'a/b/c': array} mapping from an .npz checkpoint."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def graft_flat_params(params, flat: Dict[str, np.ndarray], prefix: str = "") -> tuple:
+    """Copy flat 'a/b/c' arrays into a nested param tree (strict=False).
+
+    Returns (new_params, loaded_keys, missed_keys).
+    """
+    loaded, missed = [], []
+
+    def visit(tree, path):
+        if isinstance(tree, dict):
+            return {k: visit(v, path + (k,)) for k, v in tree.items()}
+        key = "/".join(path)
+        src = flat.get(prefix + key)
+        if src is not None and src.shape == tree.shape:
+            loaded.append(key)
+            return jax.numpy.asarray(src, tree.dtype)
+        missed.append(key)
+        return tree
+
+    new_params = visit(params, ())
+    return new_params, loaded, missed
+
+
+class _PretrainInit(Hook):
+    """Shared machinery for the three reference init hooks."""
+
+    priority = 40
+    backbone_ckpt = "pretrain/pvt_v2_b2.npz"
+    convnext_ckpt: Optional[str] = "pretrain/convnext_base_22k_224.npz"
+    val_ckpt: Optional[str] = None
+
+    def __init__(self, backbone_ckpt=None, convnext_ckpt=None, val_ckpt=None):
+        if backbone_ckpt is not None:
+            self.backbone_ckpt = backbone_ckpt
+        if convnext_ckpt is not None:
+            self.convnext_ckpt = convnext_ckpt
+        if val_ckpt is not None:
+            self.val_ckpt = val_ckpt
+
+    def _load(self, runner, path: str, prefix: str):
+        if not path or not os.path.exists(path):
+            runner.log({"hook": type(self).__name__, "skip_missing": path})
+            return
+        flat = load_npz_tree(path)
+        params, loaded, _ = graft_flat_params(runner.state.params, flat, prefix)
+        runner.state = runner.state.replace(params=params)
+        runner.log({"hook": type(self).__name__, "loaded": len(loaded), "from": path})
+
+    def before_train(self, runner):
+        self._load(runner, self.backbone_ckpt, prefix="hitnet/backbone/")
+        if self.convnext_ckpt:
+            self._load(runner, self.convnext_ckpt, prefix="hitnet/prompt_encoder/encoder2/")
+
+    def before_val(self, runner):
+        if self.val_ckpt and os.path.exists(self.val_ckpt):
+            runner.restore_checkpoint(self.val_ckpt)
+
+
+@export
+@HOOKS.register
+class our_init(_PretrainInit):
+    """cod init hook (cod.py:230-300)."""
+
+
+@export
+@HOOKS.register
+class baseline_init(_PretrainInit):
+    """baseline init hook (baseline.py:199-269)."""
+
+
+@export
+@HOOKS.register
+class PretrainInitHook(_PretrainInit):
+    """DQnet init hook — backbone only (dqnet.py:161-208)."""
+
+    convnext_ckpt = None

@@ -1,0 +1,226 @@
+"""Runner: config-driven train/val loops (the L1 runtime layer).
+
+Replaces the reference's NEST+MMEngine Runner (SURVEY.md §1 L1): builds every
+component from the same YAML schema (config/cod.yml), runs the epoch-based
+train loop with per-epoch cosine LR, interval logging/checkpointing, the val
+loop with streaming SOD metrics, and hook dispatch — as plain JAX: one jitted
+SPMD train step over a device mesh, orbax checkpoints, JSONL logs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.registry import DATASETS, HOOKS, METRICS, MODELS
+from ..data.loader import DataLoader
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from . import optim as optim_lib
+from .state import TrainState, create_train_state, make_eval_step, make_train_step
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+class Runner:
+    def __init__(
+        self,
+        cfg: dict,
+        work_dir: str = "./output/run",
+        seed: int = 0,
+        mesh=None,
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self._log_file = open(os.path.join(work_dir, "log.jsonl"), "a")
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.data_sharding = batch_sharding(self.mesh)
+        self.repl_sharding = replicated(self.mesh)
+
+        model_cfg = dict(cfg["model"])
+        self.model = MODELS.build(model_cfg, dtype=dtype)
+
+        tc = cfg.get("train_cfg", {})
+        self.max_epochs = int(tc.get("max_epochs", 1))
+        self.val_interval = int(tc.get("val_interval", self.max_epochs))
+        self.epoch = 0
+
+        # datasets / loaders
+        self.train_loader = self._build_loader(cfg.get("train_dataloader"), train=True)
+        self.val_loader = self._build_loader(cfg.get("val_dataloader"), train=False)
+        self.batch_size = cfg.get("train_dataloader", {}).get("batch_size", 1)
+
+        # model/optimizer state
+        rng = jax.random.PRNGKey(seed)
+        active_loader = self.train_loader or self.val_loader
+        image_size = getattr(active_loader.dataset, "size", 384) if active_loader else 384
+        image_size = int(cfg.get("input_size", image_size))
+        self.image_size = image_size
+        steps_per_epoch = max(len(self.train_loader), 1) if self.train_loader else 1
+        params_placeholder = self.model.init(rng, (1, image_size, image_size, 3))
+        self.tx = optim_lib.build_from_config(
+            params_placeholder["params"],
+            cfg.get("optim_wrapper", {}),
+            self.max_epochs,
+            steps_per_epoch,
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params_placeholder["params"],
+            batch_stats=params_placeholder.get("batch_stats", {}),
+            opt_state=self.tx.init(params_placeholder["params"]),
+        )
+        # replicate state over the mesh
+        self.state = jax.device_put(state, self.repl_sharding)
+        self.train_rng = jax.random.PRNGKey(seed + 1)
+
+        self._train_step = make_train_step(self.model, self.tx)
+        self._eval_step = make_eval_step(self.model)
+
+        # hooks
+        self.hooks = []
+        default_hooks = cfg.get("default_hooks", {}) or {}
+        for name, hcfg in default_hooks.items():
+            self.hooks.append(HOOKS.build(hcfg))
+        for hcfg in cfg.get("custom_hooks", []) or []:
+            self.hooks.append(HOOKS.build(hcfg))
+        self.hooks.sort(key=lambda h: h.priority)
+
+        # metrics
+        self.metrics = [METRICS.build(m) for m in cfg.get("val_evaluator", []) or []]
+
+    # ------------------------------------------------------------------
+    def _build_loader(self, loader_cfg: Optional[dict], train: bool) -> Optional[DataLoader]:
+        if not loader_cfg or "dataset" not in loader_cfg:
+            return None
+        ds_cfg = dict(loader_cfg["dataset"])
+        dataset = DATASETS.build(ds_cfg)
+        sampler = loader_cfg.get("sampler", {}) or {}
+        return DataLoader(
+            dataset,
+            batch_size=int(loader_cfg.get("batch_size", 1)),
+            shuffle=bool(sampler.get("shuffle", train)),
+            seed=self.seed,
+            drop_last=train,
+            sharding=self.data_sharding if train else None,
+        )
+
+    def log(self, record: Dict[str, Any]) -> None:
+        line = json.dumps(record)
+        print(line, flush=True)
+        self._log_file.write(line + "\n")
+        self._log_file.flush()
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, name: str) -> str:
+        path = os.path.abspath(os.path.join(self.work_dir, name))
+        if _HAS_ORBAX:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, jax.device_get(self.state), force=True)
+            ckptr.wait_until_finished()
+        else:  # flat npz fallback
+            flat = {}
+
+            def visit(tree, p):
+                if isinstance(tree, dict):
+                    for k, v in tree.items():
+                        visit(v, p + (k,))
+                else:
+                    flat["/".join(p)] = np.asarray(tree)
+
+            visit({"params": jax.device_get(self.state.params)}, ())
+            np.savez(path + ".npz", **flat)
+            path += ".npz"
+        self.log({"checkpoint": path})
+        return path
+
+    def restore_checkpoint(self, path: str) -> None:
+        if _HAS_ORBAX and os.path.isdir(path):
+            ckptr = ocp.StandardCheckpointer()
+            target = jax.device_get(self.state)
+            restored = ckptr.restore(os.path.abspath(path), target)
+            self.state = jax.device_put(restored, self.repl_sharding)
+        else:
+            from .hooks import graft_flat_params, load_npz_tree
+
+            flat = load_npz_tree(path)
+            params, loaded, _ = graft_flat_params(self.state.params, flat, prefix="params/")
+            self.state = self.state.replace(params=params)
+        self.log({"restored": path})
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        for h in self.hooks:
+            h.before_train(self)
+        assert self.train_loader is not None, "recipe has no train_dataloader"
+        while self.epoch < self.max_epochs:
+            self.epoch += 1
+            for batch in self.train_loader:
+                arrays = {k: batch[k] for k in ("input", "label", "depth")}
+                self.state, aux = self._train_step(self.state, arrays, self.train_rng)
+                for h in self.hooks:
+                    h.after_train_iter(self, aux)
+            for h in self.hooks:
+                h.after_train_epoch(self)
+            if self.val_interval and self.epoch % self.val_interval == 0 and self.val_loader:
+                self.val(during_train=True)
+
+    # ------------------------------------------------------------------
+    def val(self, during_train: bool = False, save_visualizations: bool = False) -> Dict[str, float]:
+        if not during_train:
+            for h in self.hooks:
+                h.before_val(self)
+        assert self.val_loader is not None, "recipe has no val_dataloader"
+        for m in self.metrics:
+            m.reset()
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        vis_dir = os.path.join(self.work_dir, "visualizations")
+        n_images = 0
+        t0 = time.time()
+        for batch in self.val_loader:
+            prob = self._eval_step(variables, batch["input"], batch["depth"])
+            prob_np = np.asarray(jax.device_get(prob))
+            label_np = np.asarray(jax.device_get(batch["label"]))
+            n_images += prob_np.shape[0]
+            for m in self.metrics:
+                m.process(prob_np, label_np)
+            if save_visualizations:
+                self._dump_visualizations(vis_dir, batch, prob_np)
+        results: Dict[str, float] = {}
+        for m in self.metrics:
+            results.update(m.compute())
+        results["val_imgs_per_sec"] = round(n_images / max(time.time() - t0, 1e-9), 2)
+        self.log({"epoch": self.epoch, **{k: round(v, 5) for k, v in results.items()}})
+        return results
+
+    def _dump_visualizations(self, vis_dir: str, batch, prob_np) -> None:
+        """Host-side PNG dumps of input/label/output/depth (reference predict
+        side effects, cod.py:156-217) — outside the compiled path."""
+        from PIL import Image as PILImage
+
+        os.makedirs(vis_dir, exist_ok=True)
+        raws = batch.get("raw")
+        for i in range(prob_np.shape[0]):
+            if isinstance(raws, list) and isinstance(raws[i], str):
+                name = os.path.splitext(os.path.basename(raws[i]))[0]
+            else:
+                name = f"img{int(self.state.step)}_{i}"
+            arr = (np.clip(prob_np[i, ..., 0], 0, 1) * 255).astype(np.uint8)
+            PILImage.fromarray(arr).save(os.path.join(vis_dir, f"{name}_output.png"))
+            lab = np.asarray(jax.device_get(batch["label"]))[i, ..., 0]
+            PILImage.fromarray((np.clip(lab, 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(vis_dir, f"{name}_label.png")
+            )

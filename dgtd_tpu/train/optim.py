@@ -1,0 +1,159 @@
+"""Optimizer construction: AdamW + cosine schedule + per-path lr multipliers.
+
+Reference: ``optim_wrapper`` in config/cod.yml:56-101 — AdamW lr 5e-4 wd 0.1
+with MMEngine ``paramwise_cfg.custom_keys`` lr multipliers (0.2 for
+``hitnet.backbone`` — which in the reference contains the prompt modules —
+and 0.02 for the ConvNeXt ``encoder2`` tower), CosineAnnealingLR with
+T_max = max_epochs stepped per epoch (config/cod.yml:112-116), and AMP
+(AmpOptimWrapper, config/cod.yml:58) which on TPU becomes bf16 compute with
+fp32 params/optimizer state — no loss scaling needed.
+
+The layer-decay constructor surface (twig/optimizer/layer_decay.py:9-115,
+registered but commented out of the recipes) is provided in
+``train/layer_decay.py``.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import math
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+#: reference custom_keys mapping translated to this package's param tree.
+#: In the reference, prompt_encoder/prompt_decoder live INSIDE hitnet.backbone
+#: (cod.py:1395-1396) so the 0.2 backbone multiplier covers them; the ConvNeXt
+#: tower (encoder2) is further reduced to 0.02. Longest-prefix-match wins,
+#: like MMEngine custom_keys.
+DEFAULT_LR_MULT_KEYS: Dict[str, float] = {
+    "hitnet/backbone": 0.2,
+    "hitnet/prompt_encoder": 0.2,
+    "hitnet/prompt_decoder": 0.2,
+    "hitnet/prompt_encoder/encoder2/stem": 0.02,
+    "hitnet/prompt_encoder/encoder2/down": 0.02,
+    "hitnet/prompt_encoder/encoder2/stage": 0.02,
+}
+
+
+def path_lr_mult(path_str: str, custom_keys: Dict[str, float]) -> float:
+    best_len, mult = -1, 1.0
+    for key, m in custom_keys.items():
+        if path_str.startswith(key) or ("/" + key) in path_str:
+            if len(key) > best_len:
+                best_len, mult = len(key), m
+    return mult
+
+
+def build_lr_mults(params, custom_keys: Optional[Dict[str, float]] = None):
+    """Pytree of per-leaf lr multipliers, matched on '/'-joined param paths."""
+    keys = custom_keys if custom_keys is not None else DEFAULT_LR_MULT_KEYS
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_to_str(kp) -> str:
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        return "/".join(parts)
+
+    mults = {path_to_str(kp): path_lr_mult(path_to_str(kp), keys) for kp, _ in flat}
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: mults[path_to_str(kp)], params
+    )
+
+
+def scale_by_lr_mults(mults) -> optax.GradientTransformation:
+    """Per-leaf update scaling == MMEngine per-group lr multipliers."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(lambda u, m: u * m, updates, mults), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def cosine_epoch_schedule(
+    base_lr: float, max_epochs: int, steps_per_epoch: int, eta_min: float = 0.0
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """CosineAnnealingLR stepped per epoch (by_epoch=True recipe parity)."""
+
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, max_epochs)
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * epoch / max_epochs)
+        )
+
+    return schedule
+
+
+def build_optimizer(
+    params,
+    base_lr: float = 5e-4,
+    weight_decay: float = 0.1,
+    max_epochs: int = 100,
+    steps_per_epoch: int = 1000,
+    custom_keys: Optional[Dict[str, float]] = None,
+    betas: Tuple[float, float] = (0.9, 0.999),
+    grad_clip: Optional[float] = None,
+) -> optax.GradientTransformation:
+    schedule = cosine_epoch_schedule(base_lr, max_epochs, steps_per_epoch)
+    mults = build_lr_mults(params, custom_keys)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip(grad_clip))
+    chain.append(
+        optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+    )
+    chain.append(scale_by_lr_mults(mults))
+    return optax.chain(*chain)
+
+
+def build_from_config(params, optim_cfg: dict, max_epochs: int, steps_per_epoch: int):
+    """Construct from a reference-schema ``optim_wrapper`` block."""
+    opt = optim_cfg.get("optimizer", {})
+    assert opt.get("type", "AdamW") == "AdamW", "only AdamW recipes supported"
+    paramwise = optim_cfg.get("paramwise_cfg") or {}
+    custom = paramwise.get("custom_keys")
+    custom_keys = None
+    if custom:
+        # translate reference dotted keys to this package's tree paths
+        custom_keys = {}
+        for key, spec in custom.items():
+            mult = spec.get("lr_mult", 1.0) if isinstance(spec, dict) else float(spec)
+            key = key.replace("hitnet.backbone.prompt_encoder", "hitnet/prompt_encoder")
+            key = key.replace("hitnet.backbone", "hitnet/backbone")
+            key = key.replace(".", "/")
+            if key == "hitnet/backbone":
+                # reference: prompt modules live under backbone — cover them
+                custom_keys.setdefault("hitnet/prompt_encoder", mult)
+                custom_keys.setdefault("hitnet/prompt_decoder", mult)
+            if key.endswith("encoder2/downsample_layers"):
+                for k2 in ("stem", "down"):
+                    custom_keys[key.replace("downsample_layers", k2)] = mult
+                continue
+            if "encoder2/stages/" in key:
+                idx = key.rsplit("/", 1)[-1]
+                custom_keys[key.replace(f"stages/{idx}", f"stage{idx}")] = mult
+                continue
+            custom_keys[key] = mult
+    clip = None
+    if optim_cfg.get("clip_grad"):
+        clip = float(optim_cfg["clip_grad"].get("clip_value", 0)) or None
+    return build_optimizer(
+        params,
+        base_lr=float(opt.get("lr", 5e-4)),
+        weight_decay=float(opt.get("weight_decay", 0.1)),
+        max_epochs=max_epochs,
+        steps_per_epoch=steps_per_epoch,
+        custom_keys=custom_keys,
+        grad_clip=clip,
+    )

@@ -1,0 +1,106 @@
+"""End-to-end smoke: tiny synthetic RGB-D train + val through the Runner,
+on the 8-device CPU mesh (SURVEY.md §4(d,e))."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def tiny_cfg(tmp_path):
+    return {
+        "train_cfg": {"max_epochs": 1, "val_interval": 1},
+        "input_size": 48,
+        "model": {
+            "type": "cod",
+            "variant": "b0",
+            "grid": 12,
+            "convnext_dims": [16, 32, 64, 128],
+            "convnext_depths": [1, 1, 2, 1],
+        },
+        "optim_wrapper": {
+            "optimizer": {"type": "AdamW", "lr": 5e-4, "weight_decay": 0.1},
+            "paramwise_cfg": {
+                "custom_keys": {
+                    "hitnet.backbone": {"lr_mult": 0.2},
+                    "hitnet.backbone.prompt_encoder.encoder2.downsample_layers": {"lr_mult": 0.02},
+                }
+            },
+        },
+        "val_evaluator": [{"type": "Smeasure"}, {"type": "MAE"}],
+        "default_hooks": {
+            "logger": {"type": "LoggerHook", "interval": 1},
+        },
+        "work_dir": str(tmp_path),
+    }
+
+
+@pytest.fixture(scope="module")
+def runner(tmp_path_factory):
+    from dgtd_tpu.data.datasets import SyntheticSODDataset
+    from dgtd_tpu.data.loader import DataLoader
+    from dgtd_tpu.train.loop import Runner
+
+    tmp = tmp_path_factory.mktemp("run")
+    cfg = tiny_cfg(tmp)
+    r = Runner(cfg, work_dir=str(tmp), dtype=jnp.float32)
+    size = 48
+    train_ds = SyntheticSODDataset(n=8, size=size)
+    val_ds = SyntheticSODDataset(n=4, size=size)
+    val_ds.train_mode = False
+    r.train_loader = DataLoader(train_ds, batch_size=8, shuffle=True, sharding=r.data_sharding, drop_last=True)
+    r.val_loader = DataLoader(val_ds, batch_size=2)
+    r.batch_size = 8
+    return r
+
+
+def test_train_epoch_decreases_loss(runner):
+    losses = []
+
+    class Capture:
+        priority = 99
+
+        def before_train(self, r):
+            pass
+
+        def after_train_iter(self, r, aux):
+            losses.append(float(aux["loss"]))
+
+        def after_train_epoch(self, r):
+            pass
+
+        def before_val(self, r):
+            pass
+
+    runner.hooks.append(Capture())
+    runner.cfg["train_cfg"]["max_epochs"] = 6
+    runner.max_epochs = 6
+    runner.val_interval = 0
+    runner.train()
+    assert len(losses) == 6
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_val_runs_metrics(runner):
+    results = runner.val()
+    assert "COD/Smeasure" in results and "COD/MAE" in results
+    assert 0.0 <= results["COD/MAE"] <= 1.0
+
+
+def test_params_sharded_replicated(runner):
+    leaf = jax.tree.leaves(runner.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip(runner, tmp_path):
+    before = jax.tree.leaves(runner.state.params)[0].copy()
+    path = runner.save_checkpoint("ckpt_test")
+    # perturb then restore
+    runner.state = runner.state.replace(
+        params=jax.tree.map(lambda p: p + 1.0, runner.state.params)
+    )
+    runner.restore_checkpoint(path)
+    after = jax.tree.leaves(runner.state.params)[0]
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after))

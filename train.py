@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Train/val entry point.
+
+Reference UX parity (script/train.sh:1):
+    python train.py configs/cod.yml -o work_dir=./output/run -o seed=1 [-m val]
+replaces
+    torchrun ... nest task run config/cod.yml -o work_dir=... -o launcher=pytorch [-m val]
+
+Distribution comes from the JAX mesh (all local devices by default), not a
+process launcher; multi-host runs call jax.distributed.initialize via
+``-o dist.coordinator=...``.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("-o", "--override", action="append", default=[], help="dotted key=value")
+    ap.add_argument("-m", "--mode", default="train", choices=["train", "val"])
+    ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    args = ap.parse_args()
+
+    from dgtd_tpu.core.config import get_dotted, load_config
+    from dgtd_tpu.parallel.mesh import initialize_multihost
+    from dgtd_tpu.train.loop import Runner
+
+    cfg = load_config(args.config, args.override)
+    initialize_multihost(get_dotted(cfg, "dist.coordinator"))
+    runner = Runner(
+        cfg,
+        work_dir=get_dotted(cfg, "work_dir", "./output/run"),
+        seed=int(get_dotted(cfg, "seed", 0)),
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+    )
+    if args.mode == "train":
+        runner.train()
+    else:
+        runner.val(save_visualizations=bool(get_dotted(cfg, "save_visualizations", False)))
+
+
+if __name__ == "__main__":
+    main()
