@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark: flagship ``cod`` inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Config matches BASELINE.json's north-star: batched 512² RGB-D inference,
+bf16 compute. ``vs_baseline`` divides by the pinned single-core CPU
+measurement of the SAME flagship forward stored in ``bench_baseline.json``
+(the reference repo publishes no numbers — SURVEY.md §6 — and its
+torch/CUDA stack is not runnable here, so the CPU-vs-TPU ratio of this
+framework stands in for the driver's "5x PyTorch-CPU" north star; the
+measurement provenance is recorded in the baseline file).
+
+Measurement methodology: the remote-TPU tunnel memoizes repeated identical
+dispatches and its block_until_ready is unreliable, so the timed region is a
+single jitted ``lax.scan`` over ``iters`` DISTINCT input batches whose scalar
+reduction is read back to host — device time amortizes the dispatch RTT and
+the readback forces completion.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cpu-baseline-mode", action="store_true",
+                    help="measure on CPU and write bench_baseline.json")
+    args = ap.parse_args()
+
+    if args.cpu_baseline_mode:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dgtd_tpu.models import cod
+
+    model = cod(dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), (1, args.size, args.size, 3))
+
+    iters = args.iters
+
+    @jax.jit
+    def bench_fn(variables, images, depths, seed):
+        # scan over `iters` distinct batches; scalar carry forces execution
+        def body(carry, xs):
+            im, d = xs
+            prob, _ = model.predict(variables, im + seed * 1e-6, d)
+            return carry + jnp.sum(prob), None
+
+        total, _ = lax.scan(body, jnp.float32(0.0), (images, depths))
+        return total
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(iters, args.batch, args.size, args.size, 3), jnp.float32
+    )
+    depths = jnp.asarray(
+        rng.rand(iters, args.batch, args.size, args.size, 1), jnp.float32
+    )
+
+    # warmup (compile) + distinct-seed timed repeats, each forced by readback
+    float(bench_fn(variables, images, depths, jnp.float32(-1.0)))
+    times = []
+    for r in range(args.repeats):
+        t0 = time.time()
+        float(bench_fn(variables, images, depths, jnp.float32(r)))
+        times.append(time.time() - t0)
+    sec = min(times)
+    ips = iters * args.batch / sec
+
+    if args.cpu_baseline_mode:
+        with open("bench_baseline.json", "w") as f:
+            json.dump(
+                {
+                    "cpu_images_per_sec": ips,
+                    "config": f"cod bf16 {args.size}^2 batch {args.batch} x {iters} iters",
+                    "provenance": "same flagship forward, jax on host CPU (1 core)",
+                },
+                f,
+                indent=2,
+            )
+        print(json.dumps({"cpu_images_per_sec": round(ips, 4)}))
+        return
+
+    vs = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            vs = ips / float(json.load(f)["cpu_images_per_sec"])
+
+    print(
+        json.dumps(
+            {
+                "metric": f"cod_bf16_{args.size}sq_bs{args.batch}_infer_images_per_sec_per_chip",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 2) if vs else None,
+                "ms_per_image": round(sec / (iters * args.batch) * 1000, 3),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

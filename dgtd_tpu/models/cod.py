@@ -98,7 +98,10 @@ class _SegModel:
     def init(self, rng, image_shape=(1, 384, 384, 3)):
         image = jnp.zeros(image_shape, jnp.float32)
         depth = jnp.zeros(image_shape[:3] + (1,), jnp.float32)
-        return self.net.init({"params": rng}, image, depth, train=False)
+        # jit the whole init: one compiled program instead of per-op dispatch
+        # (critical over the remote-TPU tunnel where eager ops round-trip).
+        init_fn = jax.jit(lambda r, im, d: self.net.init({"params": r}, im, d, train=False))
+        return init_fn(rng, image, depth)
 
     def loss(self, variables, batch, rngs=None):
         """Train-mode forward + total loss. Returns (loss, (aux, new_mutable))."""
