@@ -1,0 +1,250 @@
+"""Multi-scale deformable attention — TPU-native equivalent of the
+reference's CUDA extension.
+
+Reference surface (/root/reference/twig/ops/): pybind11 module exposing
+``ms_deform_attn_forward/backward`` (src/vision.cpp:13-16) around CUDA
+im2col/col2im kernels (src/cuda/ms_deform_im2col_cuda.cuh), a pure-PyTorch
+``grid_sample`` reference (functions/ms_deform_attn_func.py:49-71), and a
+fwd-parity + gradcheck test matrix (test.py:104-109). The op is NOT used by
+the main cod path (SURVEY.md §2.4) but is part of the repo surface.
+
+Tensor contract (reference parity):
+  value:              (N, S, M, D)  — S = sum(H_l * W_l)
+  spatial_shapes:     static list/tuple of (H_l, W_l)
+  sampling_locations: (N, Lq, M, L, P, 2) in [0, 1] (x, y)
+  attention_weights:  (N, Lq, M, L, P)
+  output:             (N, Lq, M * D)
+
+Bilinear sampling follows ``F.grid_sample(align_corners=False,
+padding_mode='zeros')``: src = loc * size - 0.5, out-of-range corners
+contribute zero.
+
+TPU design: gathers map poorly to the VPU, so the Pallas kernel rebuilds the
+bilinear sample as two one-hot interpolation matmuls per level
+(rows: (Q, H) @ (H, W*D), cols: einsum over W) — all FLOPs land on the MXU
+and the one-hot construction is pure VPU compares against an iota. The
+backward pass is the exact VJP of the same math, supplied via custom_vjp
+through the jnp reference (kernels share the function definition, so grads
+match the reference's col2im semantics; a fused Pallas backward is future
+work — the 5 CUDA shm-reduction variants at ms_deform_im2col_cuda.cuh:301-921
+document the perf cliff a naive scatter would hit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # TPU-only import guard so CPU test runs can fall back to interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp reference (the "fake backend" — ms_deform_attn_func.py:49-71 parity)
+# ---------------------------------------------------------------------------
+
+
+def _split_levels(value: jnp.ndarray, spatial_shapes) -> list:
+    sizes = [int(h) * int(w) for h, w in spatial_shapes]
+    offsets = np.cumsum([0] + sizes[:-1])
+    return [
+        lax.slice_in_dim(value, int(o), int(o) + s, axis=1)
+        for o, s in zip(offsets, sizes)
+    ]
+
+
+def _bilinear_sample_zeros(value_hw: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """grid_sample(align_corners=False, padding zeros) on (H, W, D) at float
+    pixel coords x (W-axis), y (H-axis) of shape (...,). Returns (..., D)."""
+    h, w, d = value_hw.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    out = 0.0
+    for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
+        for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
+            xi = x0.astype(jnp.int32) + dx
+            yi = y0.astype(jnp.int32) + dy
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            xc = jnp.clip(xi, 0, w - 1)
+            yc = jnp.clip(yi, 0, h - 1)
+            v = value_hw[yc, xc]  # gather (..., D)
+            out = out + v * (wx * wy * valid)[..., None]
+    return out
+
+
+def ms_deform_attn_reference(
+    value: jnp.ndarray,
+    spatial_shapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gather-based jnp implementation (differentiable; grads = scatter-add)."""
+    n, s, m, d = value.shape
+    _, lq, _, L, p, _ = sampling_locations.shape
+    levels = _split_levels(value, spatial_shapes)
+    out = jnp.zeros((n, lq, m, d), value.dtype)
+    for lid, (hl, wl) in enumerate(spatial_shapes):
+        hl, wl = int(hl), int(wl)
+        v = levels[lid].reshape(n, hl, wl, m, d).transpose(0, 3, 1, 2, 4)  # (N,M,H,W,D)
+        loc = sampling_locations[:, :, :, lid]  # (N, Lq, M, P, 2)
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        # vmap over batch and head
+        def sample_one(v_hw, xq, yq):
+            return _bilinear_sample_zeros(v_hw, xq, yq)  # (Lq, P, D)
+
+        sampled = jax.vmap(  # over N
+            jax.vmap(sample_one, in_axes=(0, 1, 1), out_axes=1),  # over M
+            in_axes=(0, 0, 0),
+        )(v, x.transpose(0, 1, 2, 3), y)  # (N, Lq, M, P, D)
+        w = attention_weights[:, :, :, lid]  # (N, Lq, M, P)
+        out = out + jnp.sum(sampled * w[..., None], axis=3)
+    return out.reshape(n, lq, m * d)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: one-hot interpolation matmuls (MXU path)
+# ---------------------------------------------------------------------------
+
+
+def _msda_level_kernel(v_ref, x_ref, y_ref, w_ref, acc_in_ref, out_ref, *, H, W, D, P):
+    """One (batch*head, q_block) program: accumulate P weighted bilinear
+    samples from a (H*W, D) value plane.
+
+    The bilinear gather is expressed as a 4-nonzero one-hot matrix over the
+    flattened spatial axis (built with pure VPU iota compares) contracted
+    against the value plane on the MXU — no gathers, no vector reshapes.
+
+    v_ref: (1, H*W, D); x/y/w_ref: (1, P, QB); acc_in/out_ref: (1, QB, D).
+    """
+    v = v_ref[0]  # (H*W, D)
+    qb = out_ref.shape[1]
+    acc = jnp.zeros((qb, D), jnp.float32)
+    hw_iota = lax.broadcasted_iota(jnp.int32, (qb, H * W), 1)
+    hi = hw_iota // W
+    wi = hw_iota % W
+    for p_idx in range(P):
+        x = x_ref[0, p_idx, :]  # (QB,)
+        y = y_ref[0, p_idx, :]
+        aw = w_ref[0, p_idx, :]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x0i = x0.astype(jnp.int32)[:, None]
+        y0i = y0.astype(jnp.int32)[:, None]
+        # separable one-hot factors over the flat axis; out-of-range corners
+        # never match the iota so zero-padding falls out automatically
+        ry = jnp.where(hi == y0i, 1.0 - fy, 0.0) + jnp.where(hi == y0i + 1, fy, 0.0)
+        cx = jnp.where(wi == x0i, 1.0 - fx, 0.0) + jnp.where(wi == x0i + 1, fx, 0.0)
+        onehot = ry * cx * aw[:, None]  # (QB, H*W), 4 nonzeros per row
+        acc = acc + jnp.dot(onehot, v, preferred_element_type=jnp.float32)
+    out_ref[0] = acc_in_ref[0] + acc.astype(out_ref.dtype)
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def ms_deform_attn_pallas_fwd(
+    value, spatial_shapes, sampling_locations, attention_weights, q_block: int = 128,
+    interpret: bool = False,
+):
+    n, s, m, d = value.shape
+    _, lq, _, L, p, _ = sampling_locations.shape
+    levels = _split_levels(value, spatial_shapes)
+    lq_pad = _round_up(lq, q_block)
+
+    out = jnp.zeros((n * m, lq_pad, d), jnp.float32)
+    for lid, (hl, wl) in enumerate(spatial_shapes):
+        hl, wl = int(hl), int(wl)
+        v = (
+            levels[lid]
+            .reshape(n, hl * wl, m, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(n * m, hl * wl, d)
+        )
+        loc = sampling_locations[:, :, :, lid]  # (N, Lq, M, P, 2)
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        w = attention_weights[:, :, :, lid]  # (N, Lq, M, P)
+        # -> (N*M, P, Lq_pad)
+        def to_npq(a):
+            a = a.transpose(0, 2, 3, 1).reshape(n * m, p, lq)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, lq_pad - lq)))
+
+        xq, yq, wq = to_npq(x), to_npq(y), to_npq(w)
+        # out-of-image coords for padded queries: weight 0 keeps them inert
+
+        kernel = functools.partial(_msda_level_kernel, H=hl, W=wl, D=d, P=p)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n * m, lq_pad // q_block),
+            in_specs=[
+                pl.BlockSpec((1, hl * wl, d), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, p, q_block), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, p, q_block), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, p, q_block), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((n * m, lq_pad, d), jnp.float32),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )(v, xq, yq, wq, out)
+    out = out[:, :lq].reshape(n, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(n, lq, m * d).astype(value.dtype)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP (backward via the reference math)
+# ---------------------------------------------------------------------------
+
+
+def make_ms_deform_attn(spatial_shapes, use_pallas: bool = True, interpret: bool = False):
+    """Build the op for a static level layout (shapes are compile-time)."""
+
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+
+    @jax.custom_vjp
+    def op(value, sampling_locations, attention_weights):
+        if use_pallas:
+            return ms_deform_attn_pallas_fwd(
+                value, shapes, sampling_locations, attention_weights, interpret=interpret
+            )
+        return ms_deform_attn_reference(value, shapes, sampling_locations, attention_weights)
+
+    def fwd(value, sampling_locations, attention_weights):
+        return op(value, sampling_locations, attention_weights), (
+            value,
+            sampling_locations,
+            attention_weights,
+        )
+
+    def bwd(res, g):
+        value, sl, aw = res
+        _, vjp = jax.vjp(
+            lambda v, s, a: ms_deform_attn_reference(v, shapes, s, a), value, sl, aw
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
+                   use_pallas: bool = True, interpret: bool = False):
+    op = make_ms_deform_attn(spatial_shapes, use_pallas=use_pallas, interpret=interpret)
+    return op(value, sampling_locations, attention_weights)
