@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..utils.image import (
@@ -65,6 +66,10 @@ class MessagePassing(nn.Module):
     kernel: int = 7
     steps: int = 4
     out_size: int = 384
+    #: grids at or above this edge length route through the fused Pallas
+    #: stencil kernel (ops/diffusion_pallas.py); the recipe's 12x12 grid stays
+    #: on the fused-XLA path where patch materialization is trivial.
+    pallas_min_grid: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -74,8 +79,13 @@ class MessagePassing(nn.Module):
         # reference's view(n, latent, k*k, h*w) (cod.py:1193)
         wt = weight.reshape(b, h, w, c, self.kernel * self.kernel)
         wt = normalize_affinity(wt.astype(jnp.float32)).astype(x.dtype)
-        for _ in range(self.steps):
-            x = message_passing_step(x, wt, self.kernel)
+        if min(h, w) >= self.pallas_min_grid and jax.default_backend() == "tpu":
+            from ..ops.diffusion_pallas import diffusion_pallas
+
+            x = diffusion_pallas(x, wt, self.kernel, self.steps)
+        else:
+            for _ in range(self.steps):
+                x = message_passing_step(x, wt, self.kernel)
         x = Conv(3, 1, init_scheme="pvt", dtype=self.dtype)(x)
         return resize_bilinear(x, (self.out_size, self.out_size))
 

@@ -1,0 +1,141 @@
+"""Pallas TPU kernel for the depth-diffusion stencil (large-grid path).
+
+The paper-core MessagePassing op (reference cod.py:1180-1208) is, per step,
+``x <- sum_t unfold_t(x) * w_t`` — a k×k stencil whose per-pixel, per-channel
+tap weights come from the texture affinity field. At the recipe's 12×12 grid
+the jnp form is trivial, but the 1024² serving config (SURVEY.md §5
+"long-context" analog: spatial scaling) runs the stencil on large grids where
+the XLA lowering materializes the (B, H, W, C, k²) unfold per step — k²×
+HBM amplification.
+
+This kernel fuses unfold·w·sum into row-strip programs: each program holds a
+(strip+2r, W+2r, C) input window and the strip's tap-major weights in VMEM and
+accumulates the k² shifted multiply-adds on the VPU — input and weights are
+each read from HBM exactly once per step, nothing k²-sized is ever
+materialized. Steps iterate at the JAX level (weights re-streamed per step,
+matching the reference's semantics of a step-invariant affinity field).
+
+Layouts:
+  x:       (B, H, W, C)         NHWC
+  weights: (B, H, W, k²*C)      tap-major (tap, channel) — normalized
+Returns  (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+def _stencil_kernel(x_ref, w_ref, out_ref, *, K: int, C: int, W: int, STRIP: int):
+    """x_ref: (1, STRIP+2r, W+2r, C); w_ref: (1, STRIP, W, K*K*C);
+    out_ref: (1, STRIP, W, C)."""
+    acc = jnp.zeros((STRIP, W, C), jnp.float32)
+    for t in range(K * K):
+        dy, dx = t // K, t % K
+        xs = x_ref[0, dy : dy + STRIP, dx : dx + W, :]
+        wt = w_ref[0, :, :, t * C : (t + 1) * C]
+        acc = acc + xs.astype(jnp.float32) * wt.astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _pick_strip(h: int) -> int:
+    for s in (8, 4, 2, 1):
+        if h % s == 0:
+            return s
+    return 1
+
+
+def diffusion_step_pallas(
+    x: jnp.ndarray, weights_tap_major: jnp.ndarray, kernel: int, interpret: bool = False
+) -> jnp.ndarray:
+    """One stencil step. ``weights_tap_major``: (B, H, W, k²*C), tap-major."""
+    b, h, w, c = x.shape
+    r = kernel // 2
+    strip = _pick_strip(h)
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+
+    kern = functools.partial(_stencil_kernel, K=kernel, C=c, W=w, STRIP=strip)
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // strip),
+        in_specs=[
+            # overlapping halo windows: strip j reads padded rows
+            # [j*strip, j*strip + strip + 2r) — pl.Element gives element-offset
+            # indexing for the halo dim
+            pl.BlockSpec(
+                (1, pl.Element(strip + 2 * r), w + 2 * r, c),
+                lambda i, j: (i, j * strip, 0, 0),
+            ),
+            pl.BlockSpec((1, strip, w, kernel * kernel * c), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, strip, w, c), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        interpret=interpret,
+    )(xp, weights_tap_major)
+
+
+def to_tap_major(norm_weight: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C, k²) channel-major -> (B, H, W, k²*C) tap-major."""
+    b, h, w, c, kk = norm_weight.shape
+    return norm_weight.transpose(0, 1, 2, 4, 3).reshape(b, h, w, kk * c)
+
+
+def _reference_step(x: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int) -> jnp.ndarray:
+    """jnp stencil step (same math as models.diffusion.message_passing_step)."""
+    from ..utils.image import extract_patches
+
+    patches = extract_patches(x, kernel, kernel // 2)
+    return jnp.sum(patches * norm_weight, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def diffusion_pallas(
+    x: jnp.ndarray,
+    norm_weight: jnp.ndarray,
+    kernel: int,
+    steps: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``steps`` iterations of the normalized-affinity stencil (fused taps).
+
+    Forward runs the Pallas kernel; the backward pass is the exact VJP of the
+    identical jnp stencil math (the op is a chain of linear-in-x weighted
+    stencils), so gradients match the unfused reference."""
+    wt = to_tap_major(norm_weight)
+    for _ in range(steps):
+        x = diffusion_step_pallas(x, wt, kernel, interpret=interpret)
+    return x
+
+
+def _diffusion_fwd(x, norm_weight, kernel, steps, interpret):
+    out = diffusion_pallas(x, norm_weight, kernel, steps, interpret)
+    return out, (x, norm_weight)
+
+
+def _diffusion_bwd(kernel, steps, interpret, res, g):
+    x, norm_weight = res
+
+    def ref(x_, w_):
+        y = x_
+        for _ in range(steps):
+            y = _reference_step(y, w_, kernel)
+        return y
+
+    _, vjp = jax.vjp(ref, x, norm_weight)
+    return vjp(g)
+
+
+diffusion_pallas.defvjp(_diffusion_fwd, _diffusion_bwd)
