@@ -74,7 +74,7 @@ class ConvNeXtFPNEncoder(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         outs = []
         cur = 0
-        for i in range(4):
+        for i in range(len(self.dims)):
             if i == 0:
                 x = Conv(self.dims[0], 4, 4, 0, init_scheme="pvt", dtype=self.dtype, name="stem_conv")(x)
                 x = LayerNorm(eps=1e-6, dtype=self.dtype, name="stem_norm")(x)
@@ -99,7 +99,7 @@ class ConvNeXtFPNEncoder(nn.Module):
                 Conv(self.out_dim, 1, init_scheme="pvt", dtype=self.dtype, name=f"lateral{i}")(outs[i]),
                 target,
             )
-            for i in range(4)
+            for i in range(len(self.dims))
         ]
         fused = Conv(self.out_dim, 1, init_scheme="pvt", dtype=self.dtype, name="fusion")(
             jnp.concatenate(lateral, axis=-1)

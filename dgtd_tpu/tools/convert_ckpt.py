@@ -1,0 +1,380 @@
+"""PyTorch .pth -> dgtd_tpu .npz weight converter.
+
+Converts the three checkpoint families the reference loads
+(/root/reference/twig/model/cod.py:230-300):
+  * ``pretrain/pvt_v2_b2.pth``            -> backbone (official PVTv2 keys)
+  * ``pretrain/convnext_base_22k_224.pth`` -> ConvNeXt tower (official keys)
+  * full training checkpoints (``epoch_N.pth`` MMEngine state_dict with
+    ``hitnet.*`` keys) -> the whole model
+
+Output: flat .npz mapping this package's '/'-joined param paths to arrays in
+Flax layout (conv HWIO, linear (in,out)), consumable by
+``train.hooks.graft_flat_params`` (strict=False semantics: unmatched keys are
+reported, not fatal — mirroring the reference's ``load_state_dict(strict=False)``).
+
+Usage:
+    python -m dgtd_tpu.tools.convert_ckpt pvt      pvt_v2_b2.pth out.npz
+    python -m dgtd_tpu.tools.convert_ckpt convnext convnext_base_22k_224.pth out.npz
+    python -m dgtd_tpu.tools.convert_ckpt full     epoch_50.pth out.npz
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _conv_w(a: np.ndarray) -> np.ndarray:
+    """torch conv (O, I/g, kh, kw) -> flax (kh, kw, I/g, O)."""
+    return np.transpose(a, (2, 3, 1, 0))
+
+
+def _lin_w(a: np.ndarray) -> np.ndarray:
+    return np.transpose(a, (1, 0))
+
+
+def _ident(a: np.ndarray) -> np.ndarray:
+    return a
+
+
+# ---------------------------------------------------------------------------
+# PVTv2 official checkpoint -> backbone subtree
+# ---------------------------------------------------------------------------
+
+
+def map_pvt_key(key: str) -> Optional[Tuple[str, Callable]]:
+    """Official PVTv2 state-dict key -> (relative path, transform)."""
+    m = re.match(r"patch_embed(\d)\.proj\.(weight|bias)$", key)
+    if m:
+        s, wb = m.groups()
+        if wb == "weight":
+            return f"patch_embed{s}/Conv_0/Conv_0/kernel", _conv_w
+        return f"patch_embed{s}/Conv_0/Conv_0/bias", _ident
+    m = re.match(r"patch_embed(\d)\.norm\.(weight|bias)$", key)
+    if m:
+        s, wb = m.groups()
+        tgt = "scale" if wb == "weight" else "bias"
+        return f"patch_embed{s}/LayerNorm_0/LayerNorm_0/{tgt}", _ident
+    m = re.match(r"norm(\d)\.(weight|bias)$", key)
+    if m:
+        s, wb = m.groups()
+        tgt = "scale" if wb == "weight" else "bias"
+        return f"norm{s}/LayerNorm_0/{tgt}", _ident
+    m = re.match(r"block(\d)\.(\d+)\.(.+)$", key)
+    if m:
+        s, i, rest = m.groups()
+        base = f"block{s}_{i}"
+        inner = _map_pvt_block_key(rest)
+        if inner is None:
+            return None
+        path, tf = inner
+        return f"{base}/{path}", tf
+    return None  # head.*, cls tokens etc.
+
+
+def _map_pvt_block_key(rest: str) -> Optional[Tuple[str, Callable]]:
+    table = {
+        "norm1.weight": ("LayerNorm_0/LayerNorm_0/scale", _ident),
+        "norm1.bias": ("LayerNorm_0/LayerNorm_0/bias", _ident),
+        "norm2.weight": ("LayerNorm_1/LayerNorm_1/scale", _ident),
+        "norm2.bias": ("LayerNorm_1/LayerNorm_1/bias", _ident),
+        "attn.q.weight": ("SRAttention_0/Dense_0/Dense_0/kernel", _lin_w),
+        "attn.q.bias": ("SRAttention_0/Dense_0/Dense_0/bias", _ident),
+        "attn.kv.weight": ("SRAttention_0/Dense_1/Dense_1/kernel", _lin_w),
+        "attn.kv.bias": ("SRAttention_0/Dense_1/Dense_1/bias", _ident),
+        "attn.proj.weight": ("SRAttention_0/Dense_2/Dense_2/kernel", _lin_w),
+        "attn.proj.bias": ("SRAttention_0/Dense_2/Dense_2/bias", _ident),
+        "attn.sr.weight": ("SRAttention_0/Conv_0/Conv_0/kernel", _conv_w),
+        "attn.sr.bias": ("SRAttention_0/Conv_0/Conv_0/bias", _ident),
+        "attn.norm.weight": ("SRAttention_0/LayerNorm_0/LayerNorm_0/scale", _ident),
+        "attn.norm.bias": ("SRAttention_0/LayerNorm_0/LayerNorm_0/bias", _ident),
+        "mlp.fc1.weight": ("MixFFN_0/Dense_0/Dense_0/kernel", _lin_w),
+        "mlp.fc1.bias": ("MixFFN_0/Dense_0/Dense_0/bias", _ident),
+        "mlp.dwconv.dwconv.weight": ("MixFFN_0/Conv_0/Conv_0/kernel", _conv_w),
+        "mlp.dwconv.dwconv.bias": ("MixFFN_0/Conv_0/Conv_0/bias", _ident),
+        "mlp.fc2.weight": ("MixFFN_0/Dense_1/Dense_1/kernel", _lin_w),
+        "mlp.fc2.bias": ("MixFFN_0/Dense_1/Dense_1/bias", _ident),
+    }
+    return table.get(rest)
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt official checkpoint -> encoder2 subtree
+# ---------------------------------------------------------------------------
+
+
+def map_convnext_key(key: str) -> Optional[Tuple[str, Callable]]:
+    m = re.match(r"downsample_layers\.0\.(0|1)\.(weight|bias)$", key)
+    if m:
+        idx, wb = m.groups()
+        if idx == "0":  # stem conv
+            return (
+                f"stem_conv/Conv_0/{'kernel' if wb == 'weight' else 'bias'}",
+                _conv_w if wb == "weight" else _ident,
+            )
+        return (f"stem_norm/LayerNorm_0/{'scale' if wb == 'weight' else 'bias'}", _ident)
+    m = re.match(r"downsample_layers\.(\d)\.(0|1)\.(weight|bias)$", key)
+    if m:
+        i, idx, wb = m.groups()
+        if idx == "0":  # LN first in non-stem downsample
+            return (f"down_norm{i}/LayerNorm_0/{'scale' if wb == 'weight' else 'bias'}", _ident)
+        return (
+            f"down_conv{i}/Conv_0/{'kernel' if wb == 'weight' else 'bias'}",
+            _conv_w if wb == "weight" else _ident,
+        )
+    m = re.match(r"stages\.(\d)\.(\d+)\.(.+)$", key)
+    if m:
+        i, j, rest = m.groups()
+        base = f"stage{i}_block{j}"
+        table = {
+            "dwconv.weight": ("Conv_0/Conv_0/kernel", _conv_w),
+            "dwconv.bias": ("Conv_0/Conv_0/bias", _ident),
+            "norm.weight": ("LayerNorm_0/LayerNorm_0/scale", _ident),
+            "norm.bias": ("LayerNorm_0/LayerNorm_0/bias", _ident),
+            "pwconv1.weight": ("Dense_0/Dense_0/kernel", _lin_w),
+            "pwconv1.bias": ("Dense_0/Dense_0/bias", _ident),
+            "pwconv2.weight": ("Dense_1/Dense_1/kernel", _lin_w),
+            "pwconv2.bias": ("Dense_1/Dense_1/bias", _ident),
+            "gamma": ("gamma", _ident),
+        }
+        inner = table.get(rest)
+        if inner is None:
+            return None
+        return f"{base}/{inner[0]}", inner[1]
+    # reference ShapePropEncoder FPN head (present in full checkpoints)
+    m = re.match(r"convs\.(\d)\.(weight|bias)$", key)
+    if m:
+        i, wb = m.groups()
+        return (
+            f"lateral{i}/Conv_0/{'kernel' if wb == 'weight' else 'bias'}",
+            _conv_w if wb == "weight" else _ident,
+        )
+    m = re.match(r"fusion_conv\.(weight|bias)$", key)
+    if m:
+        wb = m.group(1)
+        return (
+            f"fusion/Conv_0/{'kernel' if wb == 'weight' else 'bias'}",
+            _conv_w if wb == "weight" else _ident,
+        )
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Full-model checkpoint (hitnet.* MMEngine state dict) -> whole tree
+# ---------------------------------------------------------------------------
+
+_CAB_TABLE = {
+    "body.0.weight": ("Conv_0/Conv_0/kernel", _conv_w),
+    "body.1.weight": ("PReLU_0/alpha", _ident),
+    "body.2.weight": ("Conv_1/Conv_1/kernel", _conv_w),
+    "CA.conv_du.0.weight": ("CALayer_0/Conv_0/Conv_0/kernel", _conv_w),
+    "CA.conv_du.2.weight": ("CALayer_0/Conv_1/Conv_1/kernel", _conv_w),
+}
+
+
+def _map_basicconv(rel: str, base: str) -> Optional[Tuple[str, Callable]]:
+    table = {
+        "conv.weight": (f"{base}/Conv_0/Conv_0/kernel", _conv_w),
+        "bn.weight": (f"{base}/BatchNorm_0/scale", _ident),
+        "bn.bias": (f"{base}/BatchNorm_0/bias", _ident),
+    }
+    return table.get(rel)
+
+
+def _map_basicconv_stats(rel: str, base: str) -> Optional[Tuple[str, Callable]]:
+    table = {
+        "bn.running_mean": (f"{base}/BatchNorm_0/mean", _ident),
+        "bn.running_var": (f"{base}/BatchNorm_0/var", _ident),
+    }
+    return table.get(rel)
+
+
+_HITNET_BASICCONV = {
+    "Translayer2_0": "translayer2_0",
+    "Translayer2_1": "translayer2_1",
+    "Translayer3_1": "translayer3_1",
+    "Translayer4_1": "translayer4_1",
+    "conv4": "conv4",
+    "compress_out": "compress_out",
+    "compress_out2": "compress_out2",
+}
+
+_SAM_DENSE = {
+    "fc.0.weight": ("sam/Dense_0/Dense_0/kernel", _lin_w),
+    "fc.2.weight": ("sam/Dense_1/Dense_1/kernel", _lin_w),
+    "fc_wight.0.weight": ("sam/Dense_2/Dense_2/kernel", _lin_w),
+    "fc_wight.2.weight": ("sam/Dense_3/Dense_3/kernel", _lin_w),
+}
+
+_DEC_LEVELS = {
+    "decoder_level1": "decoder_level1",
+    "decoder_level4": "decoder_level4",
+    "decoder_level3": "decoder_level3",
+    "decoder_level2": "decoder_level2",
+}
+
+
+def map_full_key(key: str, collection: str = "params") -> Optional[Tuple[str, Callable]]:
+    """Full reference state-dict key -> (path under the model root, transform).
+
+    ``collection``: 'params' or 'batch_stats' (BN running stats live in the
+    latter)."""
+    if key.startswith("hitnet."):
+        key = key[len("hitnet.") :]
+    stats = collection == "batch_stats"
+
+    # ---- backbone subtree ----
+    if key.startswith("backbone.prompt_encoder."):
+        rest = key[len("backbone.prompt_encoder.") :]
+        if rest.startswith("encoder2."):
+            if stats:
+                return None
+            inner = map_convnext_key(rest[len("encoder2.") :])
+            if inner is None:
+                return None
+            return f"hitnet/prompt_encoder/encoder2/{inner[0]}", inner[1]
+        if stats:
+            return None
+        table = {
+            "propagation_weight_regressor.reg.weight": (
+                "hitnet/prompt_encoder/weight_regressor/Conv_0/kernel",
+                _conv_w,
+            ),
+            "propagation_weight_regressor.reg.bias": (
+                "hitnet/prompt_encoder/weight_regressor/Conv_0/bias",
+                _ident,
+            ),
+            "encoder1.weight": ("hitnet/prompt_encoder/encoder1/Conv_0/kernel", _conv_w),
+            "encoder1.bias": ("hitnet/prompt_encoder/encoder1/Conv_0/bias", _ident),
+            "message_passing.conv.weight": (
+                "hitnet/prompt_encoder/message_passing/Conv_0/Conv_0/kernel",
+                _conv_w,
+            ),
+            "message_passing.conv.bias": (
+                "hitnet/prompt_encoder/message_passing/Conv_0/Conv_0/bias",
+                _ident,
+            ),
+        }
+        return table.get(rest)
+    m = re.match(r"backbone\.prompt_decoder\.(\d)\.decoder\.(\d+)\.decoder\.(\d)\.(weight|bias)$", key)
+    if m:
+        if stats:
+            return None
+        s, i, c, wb = m.groups()
+        conv_idx = int(c) // 2  # Sequential indices 0,2,4 -> convs 0,1,2
+        return (
+            f"hitnet/prompt_decoder{s}/decoder{i}/Conv_{conv_idx}/Conv_{conv_idx}/"
+            + ("kernel" if wb == "weight" else "bias"),
+            _conv_w if wb == "weight" else _ident,
+        )
+    if key.startswith("backbone."):
+        if stats:
+            return None
+        inner = map_pvt_key(key[len("backbone.") :])
+        if inner is None:
+            return None
+        return f"hitnet/backbone/{inner[0]}", inner[1]
+
+    # ---- Hitnet decoder subtree ----
+    for tname, mine in _HITNET_BASICCONV.items():
+        if key.startswith(tname + "."):
+            rel = key[len(tname) + 1 :]
+            inner = (_map_basicconv_stats if stats else _map_basicconv)(rel, f"hitnet/{mine}")
+            return inner
+    for tname, mine in _DEC_LEVELS.items():
+        m = re.match(rf"{tname}\.(\d)\.(.+)$", key)
+        if m:
+            if stats:
+                return None
+            i, rest = m.groups()
+            inner = _CAB_TABLE.get(rest)
+            if inner is None:
+                return None
+            return f"hitnet/{mine}/cab{i}/{inner[0]}", inner[1]
+    if key.startswith("SAM."):
+        if stats:
+            return None
+        inner = _SAM_DENSE.get(key[len("SAM.") :])
+        if inner is None:
+            return None
+        return inner
+    table = {
+        "out_SAM.weight": ("hitnet/out_SAM/Conv_0/kernel", _conv_w),
+        "out_SAM.bias": ("hitnet/out_SAM/Conv_0/bias", _ident),
+        "out_CFM.weight": ("hitnet/out_CFM/Conv_0/kernel", _conv_w),
+        "out_CFM.bias": ("hitnet/out_CFM/Conv_0/bias", _ident),
+    }
+    if not stats and key in table:
+        return table[key]
+    return None  # ca/sa/ChannelAttention etc: registered-but-unused reference modules
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+_WRAPPER_RE = re.compile(r"(Dense|Conv|LayerNorm)_(\d+)/(Dense|Conv|LayerNorm)_(\d+)")
+
+
+def _normalize_path(path: str) -> str:
+    """Inner auto-named module of a wrapper is always index 0: map
+    ``X_i/X_i`` (table convenience form) to the real ``X_i/X_0``."""
+    return _WRAPPER_RE.sub(lambda m: f"{m.group(1)}_{m.group(2)}/{m.group(3)}_0", path)
+
+
+def convert_state_dict(
+    state: Dict[str, np.ndarray], kind: str
+) -> Tuple[Dict[str, np.ndarray], list]:
+    """Returns (flat npz mapping, skipped keys)."""
+    out: Dict[str, np.ndarray] = {}
+    skipped = []
+    for key, val in state.items():
+        val = np.asarray(val)
+        if kind == "pvt":
+            hit = map_pvt_key(key)
+        elif kind == "convnext":
+            hit = map_convnext_key(key)
+        elif kind == "full":
+            hit = map_full_key(key, "params")
+            if hit is None:
+                hit = map_full_key(key, "batch_stats")
+                if hit is not None:
+                    path, tf = hit
+                    out["batch_stats/" + _normalize_path(path)] = tf(val)
+                    continue
+        else:
+            raise ValueError(kind)
+        if hit is None:
+            skipped.append(key)
+            continue
+        path, tf = hit
+        out[_normalize_path(path)] = tf(val)
+    return out, skipped
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    if len(argv) != 3 or argv[0] not in ("pvt", "convnext", "full"):
+        print(__doc__)
+        sys.exit(1)
+    kind, src, dst = argv
+    import torch
+
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
+    for wrap in ("model", "state_dict"):
+        if isinstance(ckpt, dict) and wrap in ckpt:
+            ckpt = ckpt[wrap]
+    state = {k: v.numpy() for k, v in ckpt.items() if hasattr(v, "numpy")}
+    out, skipped = convert_state_dict(state, kind)
+    np.savez(dst, **out)
+    print(f"converted {len(out)} tensors -> {dst}; skipped {len(skipped)}")
+    for k in skipped[:20]:
+        print("  skipped:", k)
+
+
+if __name__ == "__main__":
+    main()
