@@ -3,3 +3,4 @@ from .hitnet import HitNet  # noqa: F401
 from .pvt import PVTv2, PVT_V2_CONFIGS  # noqa: F401
 from .convnext import ConvNeXtFPNEncoder  # noqa: F401
 from .diffusion import MessagePassing, PromptDecoder, PromptEncoder  # noqa: F401
+from .dqnet import DQnet, DQnetNet  # noqa: F401

@@ -104,3 +104,17 @@ def test_checkpoint_roundtrip(runner, tmp_path):
     runner.restore_checkpoint(path)
     after = jax.tree.leaves(runner.state.params)[0]
     np.testing.assert_allclose(np.asarray(before), np.asarray(after))
+
+
+def test_dqnet_variant_forward():
+    from dgtd_tpu.models import DQnet
+
+    m = DQnet(win_size=22, dtype=jnp.float32, variant="b0", cross_size=12)
+    v = m.init(jax.random.PRNGKey(0), (1, 48, 48, 3))
+    img = jnp.zeros((1, 48, 48, 3))
+    dep = jnp.zeros((1, 48, 48, 1))
+    prob, _ = m.predict(v, img, dep)
+    assert prob.shape == (1, 48, 48, 1)
+    batch = {"input": img, "depth": dep, "label": jnp.zeros((1, 48, 48, 1))}
+    loss, (aux, _) = m.loss(v, batch, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss))
