@@ -30,3 +30,4 @@ from . import models  # noqa: E402,F401
 from .data import datasets  # noqa: E402,F401
 from .metrics import evaluators  # noqa: E402,F401
 from .train import hooks  # noqa: E402,F401
+from .train import layer_decay  # noqa: E402,F401

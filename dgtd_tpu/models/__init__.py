@@ -4,3 +4,4 @@ from .pvt import PVTv2, PVT_V2_CONFIGS  # noqa: F401
 from .convnext import ConvNeXtFPNEncoder  # noqa: F401
 from .diffusion import MessagePassing, PromptDecoder, PromptEncoder  # noqa: F401
 from .dqnet import DQnet, DQnetNet  # noqa: F401
+from .window_fusion import NewWindowFusion, WindowFusion, window_partition, window_reverse  # noqa: F401

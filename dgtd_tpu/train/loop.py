@@ -76,6 +76,7 @@ class Runner:
             cfg.get("optim_wrapper", {}),
             self.max_epochs,
             steps_per_epoch,
+            model_cfg=cfg.get("model", {}),
         )
         state = TrainState(
             step=jnp.zeros((), jnp.int32),

@@ -117,13 +117,21 @@ def build_optimizer(
     return optax.chain(*chain)
 
 
-def build_from_config(params, optim_cfg: dict, max_epochs: int, steps_per_epoch: int):
+def build_from_config(
+    params, optim_cfg: dict, max_epochs: int, steps_per_epoch: int, model_cfg: Optional[dict] = None
+):
     """Construct from a reference-schema ``optim_wrapper`` block."""
     opt = optim_cfg.get("optimizer", {})
     assert opt.get("type", "AdamW") == "AdamW", "only AdamW recipes supported"
     paramwise = optim_cfg.get("paramwise_cfg") or {}
     custom = paramwise.get("custom_keys")
     custom_keys = None
+    if optim_cfg.get("constructor"):
+        from ..core.registry import OPTIM_CONSTRUCTORS
+
+        ctor = OPTIM_CONSTRUCTORS.get(optim_cfg["constructor"])
+        custom_keys = ctor(paramwise, model_cfg or {})
+        custom = None
     if custom:
         # translate reference dotted keys to this package's tree paths
         custom_keys = {}

@@ -1,0 +1,55 @@
+"""WindowFusion + layer-decay + registry surface tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dgtd_tpu.core.registry import DATASETS, HOOKS, METRICS, MODELS
+from dgtd_tpu.models import NewWindowFusion, WindowFusion, window_partition, window_reverse
+from dgtd_tpu.train.layer_decay import layer_decay_custom_keys
+
+
+def test_window_partition_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 20, 8), jnp.float32)
+    w = window_partition(x, 10)
+    assert w.shape == (2 * 4, 10, 10, 8)
+    back = window_reverse(w, 10, 20, 20)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_window_fusion_shapes():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 12, 12, 16))
+    y = jnp.ones((1, 12, 12, 16))
+    m = WindowFusion(window=10, num_heads=4)
+    v = m.init(rng, x, y)
+    out, gate = m.apply(v, x, y)
+    assert out.shape == x.shape and gate.shape == x.shape
+    m2 = NewWindowFusion(num_heads=4)
+    v2 = m2.init(rng, x, y)
+    out2 = m2.apply(v2, x, y)
+    assert out2.shape == x.shape
+
+
+def test_layer_decay_keys():
+    keys = layer_decay_custom_keys("b2", 0.9)
+    # b2: 16 blocks + 1 -> 17 layers; first block mult 0.9^16, last block 0.9^1
+    assert np.isclose(keys["hitnet/backbone/block1_0"], 0.9**16)
+    assert np.isclose(keys["hitnet/backbone/block4_2"], 0.9**1)
+    assert np.isclose(keys["hitnet/backbone/patch_embed1"], 0.9**17)
+
+
+def test_registry_surface_matches_reference():
+    """Every reference registry name resolves (SURVEY.md §2 inventory)."""
+    for name in ["cod", "baseline", "DQnet"]:
+        assert name in MODELS
+    for name in [
+        "COD10K_CAMO_TRAIN", "COD10K_TEST", "COD_TEST", "CHAMELEON",
+        "NC4K", "SOD_TRAIN", "SOD_TEST",
+    ]:
+        assert name in DATASETS
+    for name in ["Emeasure", "Fmeasure", "Smeasure", "MAE", "WeightedFmeasure", "meanIntersectionOverUnion"]:
+        assert name in METRICS
+    for name in ["our_init", "baseline_init", "PretrainInitHook", "LoggerHook", "CheckpointHook"]:
+        assert name in HOOKS
