@@ -51,9 +51,12 @@ def _stencil_kernel(x_ref, w_ref, out_ref, *, K: int, C: int, W: int, STRIP: int
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _pick_strip(h: int) -> int:
-    for s in (8, 4, 2, 1):
-        if h % s == 0:
+def _pick_strip(h: int, w: int, c: int, kernel: int, budget_bytes: int = 4 * 2**20) -> int:
+    """Largest strip whose weights block (the dominant VMEM tenant,
+    strip*W*k²*C*4 bytes, double-buffered by the pipeline) fits the budget."""
+    per_row = w * kernel * kernel * c * 4
+    for s in (32, 16, 8, 4, 2, 1):
+        if h % s == 0 and s * per_row <= budget_bytes:
             return s
     return 1
 
@@ -64,7 +67,7 @@ def diffusion_step_pallas(
     """One stencil step. ``weights_tap_major``: (B, H, W, k²*C), tap-major."""
     b, h, w, c = x.shape
     r = kernel // 2
-    strip = _pick_strip(h)
+    strip = _pick_strip(h, w, c, kernel)
     xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
 
     kern = functools.partial(_stencil_kernel, K=kernel, C=c, W=w, STRIP=strip)
@@ -76,7 +79,9 @@ def diffusion_step_pallas(
             # [j*strip, j*strip + strip + 2r) — pl.Element gives element-offset
             # indexing for the halo dim
             pl.BlockSpec(
-                (1, pl.Element(strip + 2 * r), w + 2 * r, c),
+                # Mosaic requires all-or-none Element dims in a spec: use
+                # element offsets everywhere for the halo'd input window
+                (pl.Element(1), pl.Element(strip + 2 * r), pl.Element(w + 2 * r), pl.Element(c)),
                 lambda i, j: (i, j * strip, 0, 0),
             ),
             pl.BlockSpec((1, strip, w, kernel * kernel * c), lambda i, j: (i, j, 0, 0)),
