@@ -31,3 +31,4 @@ from .data import datasets  # noqa: E402,F401
 from .metrics import evaluators  # noqa: E402,F401
 from .train import hooks  # noqa: E402,F401
 from .train import layer_decay  # noqa: E402,F401
+from .utils import visualizer  # noqa: E402,F401

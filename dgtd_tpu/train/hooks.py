@@ -71,6 +71,30 @@ class LoggerHook(Hook):
 
 @export
 @HOOKS.register
+class ProfilerHook(Hook):
+    """jax.profiler trace of steps [start, start+num) -> work_dir/profile
+    (SURVEY.md §5 tracing plan; view with tensorboard or perfetto)."""
+
+    def __init__(self, start_step: int = 10, num_steps: int = 3, out_dir: str = None):
+        self.start_step = start_step
+        self.num_steps = num_steps
+        self.out_dir = out_dir
+        self._active = False
+
+    def after_train_iter(self, runner, metrics):
+        step = int(runner.state.step)
+        out = self.out_dir or os.path.join(runner.work_dir, "profile")
+        if not self._active and step == self.start_step:
+            jax.profiler.start_trace(out)
+            self._active = True
+        elif self._active and step >= self.start_step + self.num_steps:
+            jax.profiler.stop_trace()
+            self._active = False
+            runner.log({"profile": out, "step": step})
+
+
+@export
+@HOOKS.register
 class CheckpointHook(Hook):
     """Epoch-interval orbax checkpoints: work_dir/epoch_N (CheckpointHook parity)."""
 

@@ -103,6 +103,11 @@ class Runner:
         # metrics
         self.metrics = [METRICS.build(m) for m in cfg.get("val_evaluator", []) or []]
 
+        # visualization backends (reference visualizer.vis_backends surface)
+        from ..utils.visualizer import build_visualizer
+
+        self.vis_backends = build_visualizer(cfg.get("visualizer"), work_dir)
+
     # ------------------------------------------------------------------
     def _build_loader(self, loader_cfg: Optional[dict], train: bool) -> Optional[DataLoader]:
         if not loader_cfg or "dataset" not in loader_cfg:
@@ -124,6 +129,10 @@ class Runner:
         print(line, flush=True)
         self._log_file.write(line + "\n")
         self._log_file.flush()
+        if getattr(self, "vis_backends", None) and "step" in record:
+            scalars = {k: v for k, v in record.items() if isinstance(v, (int, float))}
+            for b in self.vis_backends:
+                b.add_scalars(scalars, int(record["step"]))
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, name: str) -> str:
@@ -161,6 +170,13 @@ class Runner:
             params, loaded, _ = graft_flat_params(self.state.params, flat, prefix="params/")
             self.state = self.state.replace(params=params)
         self.log({"restored": path})
+
+    def resume(self, path: str, steps_per_epoch: int = None) -> None:
+        """Restore a checkpoint and recover the epoch counter."""
+        self.restore_checkpoint(path)
+        spe = steps_per_epoch or (len(self.train_loader) if self.train_loader else 1)
+        self.epoch = int(self.state.step) // max(spe, 1)
+        self.log({"resumed_at_epoch": self.epoch, "step": int(self.state.step)})
 
     # ------------------------------------------------------------------
     def train(self) -> None:

@@ -23,6 +23,7 @@ def main():
     ap.add_argument("-o", "--override", action="append", default=[], help="dotted key=value")
     ap.add_argument("-m", "--mode", default="train", choices=["train", "val"])
     ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    ap.add_argument("--resume", default=None, help="checkpoint path to resume from")
     args = ap.parse_args()
 
     from dgtd_tpu.core.config import get_dotted, load_config
@@ -37,6 +38,8 @@ def main():
         seed=int(get_dotted(cfg, "seed", 0)),
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
     )
+    if args.resume:
+        runner.resume(args.resume)
     if args.mode == "train":
         runner.train()
     else:
