@@ -98,6 +98,79 @@ def to_tap_major(norm_weight: jnp.ndarray) -> jnp.ndarray:
     return norm_weight.transpose(0, 1, 2, 4, 3).reshape(b, h, w, kk * c)
 
 
+# ---------------------------------------------------------------------------
+# v2 kernel: channels-as-batch, W-in-lanes layout
+#
+# The NHWC layout puts C (= 24 latent channels) in the lane dimension — 24 of
+# 128 lanes live, ~5x wasted VPU width. v2 instead runs one program per
+# (batch, channel) plane with W in lanes (256 -> full width):
+#   x:  (B*C, H+2r, W+2r)   whole padded plane in VMEM (~275 KB at 256²)
+#   w:  (B*C, k², H, W)     streamed in row strips (dominant HBM traffic)
+#   out:(B*C, H, W)
+# Each (plane, strip) program does k² shifted multiply-accumulates on
+# (strip, W) tiles. The weights tensor is read exactly once per step — the
+# op's bandwidth lower bound.
+# ---------------------------------------------------------------------------
+
+
+def _stencil_kernel_v2(x_ref, w_ref, out_ref, *, K: int, W: int, STRIP: int):
+    """x_ref: (1, H+2r, W+2r); w_ref: (1, K*K, STRIP, W); out_ref: (1, STRIP, W).
+
+    Loads one sublane-aligned (STRIP+2r, W+2r) slab per program (STRIP is a
+    multiple of 8 so ``j*STRIP`` is provably aligned), then applies the k²
+    tap shifts as static in-register slices — Mosaic handles the sub-tile
+    rotates, no unaligned vector loads."""
+    j = pl.program_id(1)
+    row0 = pl.multiple_of(j * STRIP, STRIP)
+    r = K // 2
+    slab = x_ref[0, pl.ds(row0, STRIP + 2 * r), :]  # (STRIP+2r, W+2r)
+    acc = jnp.zeros((STRIP, W), jnp.float32)
+    for t in range(K * K):
+        dy, dx = t // K, t % K
+        xs = slab[dy : dy + STRIP, dx : dx + W]
+        acc = acc + xs.astype(jnp.float32) * w_ref[0, t].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def diffusion_step_pallas_v2(
+    x_planes: jnp.ndarray, w_planes: jnp.ndarray, kernel: int, interpret: bool = False
+) -> jnp.ndarray:
+    """One stencil step in plane layout: x (P, H, W), w (P, k², H, W)."""
+    p, h, w = x_planes.shape
+    r = kernel // 2
+    # STRIP must be a multiple of 8 (sublane alignment of the slab load)
+    strip = h
+    for s in (64, 32, 16, 8):
+        if h % s == 0 and kernel * kernel * s * w * 4 <= 4 * 2**20:
+            strip = s
+            break
+    xp = jnp.pad(x_planes, ((0, 0), (r, r), (r, r)))
+    kern = functools.partial(_stencil_kernel_v2, K=kernel, W=w, STRIP=strip)
+    return pl.pallas_call(
+        kern,
+        grid=(p, h // strip),
+        in_specs=[
+            pl.BlockSpec((1, h + 2 * r, w + 2 * r), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, kernel * kernel, strip, w), lambda i, j: (i, 0, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, strip, w), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, h, w), x_planes.dtype),
+        interpret=interpret,
+    )(xp, w_planes)
+
+
+def diffusion_pallas_v2(
+    x: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int, steps: int, interpret: bool = False
+) -> jnp.ndarray:
+    """NHWC wrapper around the plane-layout kernel."""
+    b, h, w, c = x.shape
+    xp = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+    wp = norm_weight.transpose(0, 3, 4, 1, 2).reshape(b * c, kernel * kernel, h, w)
+    for _ in range(steps):
+        xp = diffusion_step_pallas_v2(xp, wp, kernel, interpret=interpret)
+    return xp.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
 def _reference_step(x: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int) -> jnp.ndarray:
     """jnp stencil step (same math as models.diffusion.message_passing_step)."""
     from ..utils.image import extract_patches
