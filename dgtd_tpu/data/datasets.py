@@ -54,7 +54,18 @@ class FolderSODDataset:
         split: str,
         image_size: Optional[Union[tuple, list]] = None,
         filter_size_mismatch: bool = True,
+        pipeline: str = "pil",
     ):
+        #: "native" routes post-decode work (resize+normalize+flip) through the
+        #: fused C++ pipeline (dgtd_tpu/native/pixelops.cpp) — half-pixel
+        #: bilinear, matching torch interpolate; "pil" (default) keeps PIL's
+        #: antialiased resample like the reference's torchvision transforms.
+        self.pipeline = pipeline
+        if pipeline == "native":
+            from ..native import pixelops
+
+            if not pixelops.available():
+                self.pipeline = "pil"
         self._check_split(split)
         base = os.path.join(data_dir, *self.nested)
         self.images = sorted(_list_dir(base, self.image_subdir))[self.skip_first :]
@@ -99,11 +110,27 @@ class FolderSODDataset:
             arr = arr[:, :, None]
         return arr
 
+    def _decode(self, path: str, mode: str) -> np.ndarray:
+        with Image.open(path) as im:
+            return np.asarray(im.convert(mode), np.uint8)
+
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        flip = bool(self.train_mode and rng is not None and rng.random() < 0.5)
+        size = (self.size, self.size)
+        if self.pipeline == "native":
+            from ..native import pixelops
+
+            img_u8 = self._decode(self.images[index], "RGB")
+            inp = pixelops.resize_normalize(img_u8, size, IMAGENET_MEAN, IMAGENET_STD, flip)
+            label = pixelops.resize_normalize(self._decode(self.gts[index], "L"), size, flip=flip)
+            depth = pixelops.resize_normalize(self._decode(self.depths[index], "L"), size, flip=flip)
+            raw = self.images[index] if self.raw_as_path else pixelops.resize_normalize(img_u8, size, flip=flip)
+            return {"raw": raw, "input": inp, "label": label, "depth": depth}
+
         image = self._load_resized(self.images[index], "RGB")
         label = self._load_resized(self.gts[index], "L")
         depth = self._load_resized(self.depths[index], "L")
-        if self.train_mode and rng is not None and rng.random() < 0.5:
+        if flip:
             image = image[:, ::-1].copy()
             label = label[:, ::-1].copy()
             depth = depth[:, ::-1].copy()

@@ -53,3 +53,35 @@ def test_registry_surface_matches_reference():
         assert name in METRICS
     for name in ["our_init", "baseline_init", "PretrainInitHook", "LoggerHook", "CheckpointHook"]:
         assert name in HOOKS
+
+
+def test_folder_dataset_pipelines(tmp_path):
+    """PIL and native pipelines both produce the contract dict; fixture on disk."""
+    import os
+    from PIL import Image
+    import numpy as _np
+
+    root = tmp_path / "ds"
+    for sub in ("Imgs", "GT", "Depth"):
+        os.makedirs(root / sub)
+    rng = _np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rng.rand(60, 80, 3) * 255).astype("uint8")).save(root / "Imgs" / f"x{i}.jpg")
+        Image.fromarray((rng.rand(60, 80) * 255).astype("uint8")).save(root / "GT" / f"x{i}.png")
+        Image.fromarray((rng.rand(60, 80) * 255).astype("uint8")).save(root / "Depth" / f"x{i}.png")
+
+    from dgtd_tpu.data.datasets import COD10K_CAMO_TRAIN
+
+    for pipeline in ("pil", "native"):
+        ds = COD10K_CAMO_TRAIN(str(root), "Depth", "train", image_size=64, pipeline=pipeline)
+        assert len(ds) == 3
+        item = ds.get(0, _np.random.default_rng(0))
+        assert item["input"].shape == (64, 64, 3)
+        assert item["label"].shape == (64, 64, 1)
+        assert item["depth"].shape == (64, 64, 1)
+        assert item["input"].dtype == _np.float32
+        # flip pairing: same rng state flips all planes together
+        a = ds.get(1, _np.random.default_rng(12345))
+        b = ds.get(1, _np.random.default_rng(12345))
+        _np.testing.assert_allclose(a["input"], b["input"])
+        _np.testing.assert_allclose(a["depth"], b["depth"])
