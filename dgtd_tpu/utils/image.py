@@ -111,14 +111,26 @@ def avg_pool(
     stride: int = 1,
     padding: int = 0,
 ) -> jax.Array:
-    """NHWC average pool, torch ``F.avg_pool2d`` (count_include_pad=True)."""
+    """NHWC average pool, torch ``F.avg_pool2d`` (count_include_pad=True).
+
+    Separable: two 1-D window sums instead of one k×k window — identical
+    result, k²/2k the work (matters for the 31×31 loss-weighting pool,
+    reference cod.py:77)."""
     summed = lax.reduce_window(
         x.astype(jnp.float32),
         0.0,
         lax.add,
-        window_dimensions=(1, kernel, kernel, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        window_dimensions=(1, kernel, 1, 1),
+        window_strides=(1, stride, 1, 1),
+        padding=((0, 0), (padding, padding), (0, 0), (0, 0)),
+    )
+    summed = lax.reduce_window(
+        summed,
+        0.0,
+        lax.add,
+        window_dimensions=(1, 1, kernel, 1),
+        window_strides=(1, 1, stride, 1),
+        padding=((0, 0), (0, 0), (padding, padding), (0, 0)),
     )
     return (summed / float(kernel * kernel)).astype(x.dtype)
 
