@@ -144,3 +144,25 @@ def test_curve_evaluator_runs():
         out = m.compute()
         for v in out.values():
             assert np.isfinite(v)
+
+
+def test_device_statistics_match_host():
+    """On-device histogram/MAE stats == host prepare()+histogram path."""
+    import jax.numpy as jnp
+
+    from dgtd_tpu.metrics.device import batch_statistics
+
+    rng = np.random.RandomState(7)
+    prob = rng.rand(3, 24, 24).astype(np.float32)
+    gt = (rng.rand(3, 24, 24) > 0.5).astype(np.float32)
+    stats = {k: np.asarray(v) for k, v in batch_statistics(jnp.asarray(prob), jnp.asarray(gt)).items()}
+
+    for i in range(3):
+        p_u8 = (prob[i] * 255).astype(np.uint8)
+        g_u8 = (gt[i] * 255).astype(np.uint8)
+        pred, g = S.prepare(p_u8, g_u8)
+        fg, bg = S.threshold_histograms(pred, g)
+        np.testing.assert_allclose(stats["fg_hist"][i], fg)
+        np.testing.assert_allclose(stats["bg_hist"][i], bg)
+        np.testing.assert_allclose(stats["gt_count"][i], np.count_nonzero(g))
+        np.testing.assert_allclose(stats["mae_sum"][i], S.mae(pred, g) * g.size, rtol=1e-5)
