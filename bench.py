@@ -29,6 +29,48 @@ import numpy as np
 from jax import lax
 
 
+def bench_train(model, variables, args):
+    """Full train-step throughput (fwd+bwd+AdamW), loss readback each step."""
+    from dgtd_tpu.train.optim import build_optimizer
+    from dgtd_tpu.train.state import TrainState, make_train_step
+
+    tx = build_optimizer(variables["params"], steps_per_epoch=100)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    train_step = make_train_step(model, tx)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input": jnp.asarray(rng.rand(args.batch, args.size, args.size, 3), jnp.float32),
+        "depth": jnp.asarray(rng.rand(args.batch, args.size, args.size, 1), jnp.float32),
+        "label": jnp.asarray(rng.rand(args.batch, args.size, args.size, 1) > 0.5, jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    state, aux = train_step(state, batch, key)
+    float(aux["loss"])  # force
+    t0 = time.time()
+    for i in range(args.iters):
+        state, aux = train_step(state, {**batch, "input": batch["input"] + i * 1e-6}, key)
+        loss = float(aux["loss"])
+    sec = (time.time() - t0) / args.iters
+    print(
+        json.dumps(
+            {
+                "metric": f"cod_bf16_{args.size}sq_bs{args.batch}_train_images_per_sec_per_chip",
+                "value": round(args.batch / sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "ms_per_step": round(sec * 1000, 2),
+                "loss": round(loss, 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
@@ -37,6 +79,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu-baseline-mode", action="store_true",
                     help="measure on CPU and write bench_baseline.json")
+    ap.add_argument("--mode", choices=["infer", "train"], default="infer")
     args = ap.parse_args()
 
     if args.cpu_baseline_mode:
@@ -46,6 +89,10 @@ def main():
 
     model = cod(dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), (1, args.size, args.size, 3))
+
+    if args.mode == "train":
+        bench_train(model, variables, args)
+        return
 
     iters = args.iters
 
