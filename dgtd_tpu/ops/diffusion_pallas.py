@@ -159,16 +159,22 @@ def diffusion_step_pallas_v2(
     )(xp, w_planes)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def diffusion_pallas_v2(
     x: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int, steps: int, interpret: bool = False
 ) -> jnp.ndarray:
-    """NHWC wrapper around the plane-layout kernel."""
+    """NHWC wrapper around the plane-layout kernel (backward = VJP of the
+    identical jnp stencil math, like diffusion_pallas)."""
     b, h, w, c = x.shape
     xp = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
     wp = norm_weight.transpose(0, 3, 4, 1, 2).reshape(b * c, kernel * kernel, h, w)
     for _ in range(steps):
         xp = diffusion_step_pallas_v2(xp, wp, kernel, interpret=interpret)
     return xp.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def _diffusion_v2_fwd(x, norm_weight, kernel, steps, interpret):
+    return diffusion_pallas_v2(x, norm_weight, kernel, steps, interpret), (x, norm_weight)
 
 
 def _reference_step(x: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int) -> jnp.ndarray:
@@ -217,3 +223,4 @@ def _diffusion_bwd(kernel, steps, interpret, res, g):
 
 
 diffusion_pallas.defvjp(_diffusion_fwd, _diffusion_bwd)
+diffusion_pallas_v2.defvjp(_diffusion_v2_fwd, _diffusion_bwd)

@@ -55,3 +55,28 @@ def test_diffusion_pallas_gradients():
     gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, nw)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
+
+
+def test_diffusion_pallas_v2_matches_and_grads():
+    import jax
+
+    from dgtd_tpu.ops.diffusion_pallas import diffusion_pallas_v2
+
+    rng = np.random.RandomState(3)
+    k, steps, h, c = 7, 3, 16, 8
+    x = jnp.asarray(rng.randn(1, h, h, c), jnp.float32)
+    nw = normalize_affinity(jnp.asarray(rng.rand(1, h, h, c, k * k), jnp.float32))
+    ref = x
+    for _ in range(steps):
+        ref = message_passing_step(ref, nw, k)
+    out = diffusion_pallas_v2(x, nw, k, steps, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    gx_p = jax.grad(lambda x: jnp.sum(diffusion_pallas_v2(x, nw, k, steps, True) ** 2))(x)
+    def ref_loss(x):
+        y = x
+        for _ in range(steps):
+            y = message_passing_step(y, nw, k)
+        return jnp.sum(y**2)
+    gx_r = jax.grad(ref_loss)(x)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
