@@ -26,6 +26,14 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: the full train step is a multi-minute compile
+# on the remote TPU service; cache survives across runs.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 from jax import lax
 
 
