@@ -217,6 +217,8 @@ class SOD_TEST(FolderSODDataset):
     raw_as_path = True
 
 
+@export
+@DATASETS.register
 class SyntheticSODDataset:
     """In-memory synthetic RGB-D fixture for tests and benchmarks.
 
