@@ -22,6 +22,73 @@ import jax.numpy as jnp
 import numpy as np
 
 
+EPS = float(np.spacing(1))
+
+
+def _s_object_part(p: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """2x/(x²+1+σ) over masked pixels, MATLAB std (ddof=1)."""
+    cnt = jnp.sum(mask)
+    x = jnp.sum(p * mask) / jnp.maximum(cnt, 1.0)
+    var = jnp.sum(((p - x) * mask) ** 2) / jnp.maximum(cnt - 1.0, 1.0)
+    sigma = jnp.sqrt(var)
+    score = 2.0 * x / (x**2 + 1.0 + sigma + EPS)
+    return jnp.where(cnt > 0, score, 0.0)
+
+
+def _region_ssim(p: jnp.ndarray, g: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Fan's per-quadrant SSIM with (N-1) normalization, masked form."""
+    n = jnp.sum(mask)
+    n_safe = jnp.maximum(n, 1.0)
+    x = jnp.sum(p * mask) / n_safe
+    y = jnp.sum(g * mask) / n_safe
+    denom = jnp.maximum(n - 1.0, 1.0)
+    sigma_x = jnp.sum(((p - x) * mask) ** 2) / denom
+    sigma_y = jnp.sum(((g - y) * mask) ** 2) / denom
+    sigma_xy = jnp.sum((p - x) * (g - y) * mask**2) / denom
+    alpha = 4.0 * x * y * sigma_xy
+    beta = (x**2 + y**2) * (sigma_x + sigma_y)
+    return jnp.where(alpha != 0, alpha / (beta + EPS), jnp.where(beta == 0, 1.0, 0.0))
+
+
+def _smeasure_single(p: jnp.ndarray, gt: jnp.ndarray, alpha: float = 0.5) -> jnp.ndarray:
+    """Device S-measure for one (H, W) image (py_sod_metrics semantics)."""
+    h, w = p.shape
+    gtf = gt.astype(jnp.float32)
+    y = jnp.mean(gtf)
+
+    # ---- object score ----
+    obj = y * _s_object_part(p * gtf, gtf) + (1.0 - y) * _s_object_part(
+        (1.0 - p) * (1.0 - gtf), 1.0 - gtf
+    )
+
+    # ---- region score: centroid (MATLAB round-half-even) + quadrants ----
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    cnt = jnp.sum(gtf)
+    ys = jnp.sum(rows * gtf) / jnp.maximum(cnt, 1.0)
+    xs = jnp.sum(cols * gtf) / jnp.maximum(cnt, 1.0)
+    cy = jnp.where(cnt > 0, jnp.round(ys), jnp.round(h / 2.0)) + 1.0
+    cx = jnp.where(cnt > 0, jnp.round(xs), jnp.round(w / 2.0)) + 1.0
+
+    top = rows < cy
+    left = cols < cx
+    area = float(h * w)
+    region = jnp.float32(0.0)
+    quadrant_weights = []
+    for qy, qx in ((1, 1), (1, 0), (0, 1), (0, 0)):
+        mask = ((top if qy else ~top) & (left if qx else ~left)).astype(jnp.float32)
+        quadrant_weights.append(jnp.sum(mask) / area)
+    # w4 = 1 - w1 - w2 - w3 (py_sod convention, equals area residual)
+    quadrant_weights[3] = 1.0 - quadrant_weights[0] - quadrant_weights[1] - quadrant_weights[2]
+    for (qy, qx), wq in zip(((1, 1), (1, 0), (0, 1), (0, 0)), quadrant_weights):
+        mask = ((top if qy else ~top) & (left if qx else ~left)).astype(jnp.float32)
+        region = region + wq * _region_ssim(p, gtf, mask)
+
+    sm = jnp.maximum(alpha * obj + (1 - alpha) * region, 0.0)
+    sm = jnp.where(y == 0, 1.0 - jnp.mean(p), jnp.where(y == 1, jnp.mean(p), sm))
+    return sm
+
+
 @jax.jit
 def batch_statistics(prob: jnp.ndarray, label: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """prob/label: (B, H, W) or (B, H, W, 1) floats in [0, 1].
@@ -56,10 +123,12 @@ def batch_statistics(prob: jnp.ndarray, label: jnp.ndarray) -> Dict[str, jnp.nda
     bg_hist = jnp.einsum("bn,bnk->bk", 1.0 - gt_flat, onehot)
 
     mae_sum = jnp.sum(jnp.abs(p_norm - gt_flat.reshape(p_norm.shape)), axis=(1, 2))
+    sm = jax.vmap(_smeasure_single)(p_norm, gt)
     return {
         "fg_hist": fg_hist,
         "bg_hist": bg_hist,
         "gt_count": jnp.sum(gt_flat, axis=1),
         "mae_sum": mae_sum,
+        "sm": sm,
         "n_pixels": jnp.full((b,), n, jnp.int32),
     }

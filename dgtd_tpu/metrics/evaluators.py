@@ -44,6 +44,20 @@ class BaseSODMetric:
         raise NotImplementedError
 
     name = "metric"
+    #: whether process_stats() can consume metrics.device.batch_statistics
+    supports_device_stats = False
+
+    def _step_stats(self, stats, i: int) -> None:
+        raise NotImplementedError
+
+    def process_stats(self, stats) -> None:
+        """Update from on-device per-image statistics (metrics/device.py) —
+        same cumulative-append semantics as process()."""
+        b = len(np.asarray(stats["sm"]))
+        for i in range(b):
+            self._step_stats(stats, i)
+            self._count += 1
+        self._appended.append(self._cumulative_value())
 
     # ----------------------------------------------------------------------
     def process(self, preds, gts) -> None:
@@ -78,6 +92,7 @@ class Smeasure(BaseSODMetric):
     """S-measure (twig/metric/Smeasure.py:8-37)."""
 
     name = "Smeasure"
+    supports_device_stats = True
 
     def reset(self):
         super().reset()
@@ -85,6 +100,9 @@ class Smeasure(BaseSODMetric):
 
     def _step(self, pred, gt):
         self._sum += S.smeasure(pred, gt)
+
+    def _step_stats(self, stats, i):
+        self._sum += float(stats["sm"][i])
 
     def _cumulative_value(self):
         return self._sum / max(self._count, 1)
@@ -96,6 +114,7 @@ class MAE(BaseSODMetric):
     """MAE (twig/metric/MAE.py:8-37)."""
 
     name = "MAE"
+    supports_device_stats = True
 
     def reset(self):
         super().reset()
@@ -103,6 +122,9 @@ class MAE(BaseSODMetric):
 
     def _step(self, pred, gt):
         self._sum += S.mae(pred, gt)
+
+    def _step_stats(self, stats, i):
+        self._sum += float(stats["mae_sum"][i]) / float(stats["n_pixels"][i])
 
     def _cumulative_value(self):
         return self._sum / max(self._count, 1)
@@ -125,10 +147,18 @@ class Fmeasure(_CurveMetric):
     """max F-measure over 256 thresholds (twig/metric/Fmeasure.py:8-37)."""
 
     name = "Fmeasure"
+    supports_device_stats = True
 
     def _step(self, pred, gt):
         fg_hist, bg_hist = S.threshold_histograms(pred, gt)
         self._curve_sum += S.fmeasure_curve(fg_hist, bg_hist, int(np.count_nonzero(gt)))
+
+    def _step_stats(self, stats, i):
+        self._curve_sum += S.fmeasure_curve(
+            np.asarray(stats["fg_hist"][i], np.float64),
+            np.asarray(stats["bg_hist"][i], np.float64),
+            int(stats["gt_count"][i]),
+        )
 
 
 @export
@@ -137,11 +167,20 @@ class Emeasure(_CurveMetric):
     """max E-measure over 256 thresholds (twig/metric/Emeasure.py:8-36)."""
 
     name = "Emeasure"
+    supports_device_stats = True
 
     def _step(self, pred, gt):
         fg_hist, bg_hist = S.threshold_histograms(pred, gt)
         self._curve_sum += S.emeasure_curve(
             fg_hist, bg_hist, int(np.count_nonzero(gt)), gt.size
+        )
+
+    def _step_stats(self, stats, i):
+        self._curve_sum += S.emeasure_curve(
+            np.asarray(stats["fg_hist"][i], np.float64),
+            np.asarray(stats["bg_hist"][i], np.float64),
+            int(stats["gt_count"][i]),
+            int(stats["n_pixels"][i]),
         )
 
 

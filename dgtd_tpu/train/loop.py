@@ -91,6 +91,16 @@ class Runner:
         self._train_step = make_train_step(self.model, self.tx)
         self._eval_step = make_eval_step(self.model)
 
+        # fused predict+metric-statistics step: only KB-sized per-image stats
+        # leave the device during val (metrics/device.py)
+        from ..metrics.device import batch_statistics
+
+        def _eval_stats(variables, image, depth, label):
+            prob, _ = self.model.predict(variables, image, depth)
+            return batch_statistics(prob, label)
+
+        self._eval_stats_step = jax.jit(_eval_stats)
+
         # hooks
         self.hooks = []
         default_hooks = cfg.get("default_hooks", {}) or {}
@@ -207,7 +217,22 @@ class Runner:
         vis_dir = os.path.join(self.work_dir, "visualizations")
         n_images = 0
         t0 = time.time()
+        use_device_stats = (
+            bool(self.cfg.get("device_metrics", True))
+            and not save_visualizations
+            and self.metrics
+            and all(getattr(m, "supports_device_stats", False) for m in self.metrics)
+        )
         for batch in self.val_loader:
+            if use_device_stats:
+                stats = self._eval_stats_step(
+                    variables, batch["input"], batch["depth"], batch["label"]
+                )
+                stats = {k: np.asarray(v) for k, v in jax.device_get(stats).items()}
+                n_images += int(stats["sm"].shape[0])
+                for m in self.metrics:
+                    m.process_stats(stats)
+                continue
             prob = self._eval_step(variables, batch["input"], batch["depth"])
             prob_np = np.asarray(jax.device_get(prob))
             label_np = np.asarray(jax.device_get(batch["label"]))

@@ -166,3 +166,56 @@ def test_device_statistics_match_host():
         np.testing.assert_allclose(stats["bg_hist"][i], bg)
         np.testing.assert_allclose(stats["gt_count"][i], np.count_nonzero(g))
         np.testing.assert_allclose(stats["mae_sum"][i], S.mae(pred, g) * g.size, rtol=1e-5)
+
+
+def test_device_smeasure_matches_host():
+    import jax.numpy as jnp
+
+    from dgtd_tpu.metrics.device import batch_statistics
+
+    rng = np.random.RandomState(8)
+    cases = []
+    # blob-like gt (realistic), random gt, empty gt, full gt
+    blob = np.zeros((32, 32), np.float32)
+    blob[6:20, 10:28] = 1.0
+    cases.append((rng.rand(32, 32).astype(np.float32), blob))
+    cases.append((rng.rand(32, 32).astype(np.float32), (rng.rand(32, 32) > 0.5).astype(np.float32)))
+    cases.append((rng.rand(32, 32).astype(np.float32), np.zeros((32, 32), np.float32)))
+    cases.append((rng.rand(32, 32).astype(np.float32), np.ones((32, 32), np.float32)))
+
+    prob = np.stack([c[0] for c in cases])
+    gt = np.stack([c[1] for c in cases])
+    stats = batch_statistics(jnp.asarray(prob), jnp.asarray(gt))
+    sm_dev = np.asarray(stats["sm"])
+    for i in range(len(cases)):
+        p_u8 = (prob[i] * 255).astype(np.uint8)
+        g_u8 = (gt[i] * 255).astype(np.uint8)
+        pred, g = S.prepare(p_u8, g_u8)
+        np.testing.assert_allclose(sm_dev[i], S.smeasure(pred, g), rtol=1e-4, atol=1e-5)
+
+
+def test_process_stats_equals_process():
+    """Device-stats evaluator path must equal the full-map path exactly."""
+    import jax.numpy as jnp
+
+    from dgtd_tpu.metrics.device import batch_statistics
+    from dgtd_tpu.metrics.evaluators import Emeasure, Fmeasure, MAE, Smeasure
+
+    rng = np.random.RandomState(9)
+    batches = []
+    for _ in range(3):
+        prob = rng.rand(2, 24, 24).astype(np.float32)
+        blob = np.zeros((2, 24, 24), np.float32)
+        blob[:, 4:18, 6:20] = 1.0
+        batches.append((prob, blob))
+
+    for cls in (Smeasure, MAE, Fmeasure, Emeasure):
+        host, dev = cls(), cls()
+        for prob, gt in batches:
+            host.process(prob, gt)
+            dev.process_stats(
+                {k: np.asarray(v) for k, v in batch_statistics(jnp.asarray(prob), jnp.asarray(gt)).items()}
+            )
+        hv, dv = host.compute(), dev.compute()
+        for k in hv:
+            np.testing.assert_allclose(dv[k], hv[k], rtol=1e-4, atol=1e-6, err_msg=f"{cls.__name__} {k}")
