@@ -157,6 +157,8 @@ class _PretrainInit(Hook):
             return
         flat = load_npz_tree(path)
         params, loaded, _ = graft_flat_params(runner.state.params, flat, prefix)
+        # grafted leaves are host arrays — restore the replicated mesh layout
+        params = jax.device_put(params, runner.repl_sharding)
         runner.state = runner.state.replace(params=params)
         runner.log({"hook": type(self).__name__, "loaded": len(loaded), "from": path})
 
