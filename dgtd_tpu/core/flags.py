@@ -1,0 +1,23 @@
+"""Runtime feature flags (kernel selection, debug toggles).
+
+Plain module-level switches read at trace time — flip before building/jitting
+a model. The reference has no analog (its toggles were file copies); these are
+the framework's sanctioned experiment knobs.
+"""
+
+#: route models/layers.LayerNorm through the fused Pallas kernel
+#: (ops/layernorm_pallas.py) on TPU.
+use_pallas_layernorm: bool = False
+
+#: jnp NaN debugging (jax debug_nans passthrough — SURVEY.md §5 plan).
+debug_nans: bool = False
+
+
+def set_flag(name: str, value) -> None:
+    if not hasattr(__import__(__name__, fromlist=["_"]), name):
+        raise AttributeError(f"unknown flag {name}")
+    globals()[name] = value
+    if name == "debug_nans":
+        import jax
+
+        jax.config.update("jax_debug_nans", bool(value))

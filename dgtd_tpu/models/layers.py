@@ -143,16 +143,40 @@ class Dense(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """Channel-last layer norm (torch nn.LayerNorm parity, fp32 stats)."""
+    """Channel-last layer norm (torch nn.LayerNorm parity, fp32 stats).
+
+    With ``core.flags.use_pallas_layernorm`` on TPU, runs the fused single-pass
+    Pallas kernel (ops/layernorm_pallas.py) instead of the XLA
+    convert+reduce+apply sequence."""
 
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from ..core import flags
+
+        if flags.use_pallas_layernorm and jax.default_backend() == "tpu":
+            # child named LayerNorm_0 so the param tree (and checkpoint
+            # mapping) is identical to the flax path
+            return _PallasLN(eps=self.eps, dtype=self.dtype, name="LayerNorm_0")(x)
         return nn.LayerNorm(
             epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32
         )(x)
+
+
+class _PallasLN(nn.Module):
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.layernorm_pallas import layer_norm_pallas
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return layer_norm_pallas(x.astype(self.dtype), scale, bias, self.eps)
 
 
 class PReLU(nn.Module):
