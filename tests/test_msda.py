@@ -75,7 +75,7 @@ def test_reference_matches_torch_oracle_double():
     np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-14)
 
 
-@pytest.mark.parametrize("channels", [2, 30, 32, 71])
+@pytest.mark.parametrize("channels", [2, 30, 32, 71, 1025])
 def test_pallas_matches_reference(channels):
     value, loc, aw = make_inputs(channels, seed=11 + channels)
     ref = np.asarray(ms_deform_attn_reference(jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(aw)))
