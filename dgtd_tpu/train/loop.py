@@ -189,7 +189,24 @@ class Runner:
         self.log({"resumed_at_epoch": self.epoch, "step": int(self.state.step)})
 
     # ------------------------------------------------------------------
+    def _install_preemption_handler(self) -> None:
+        """Preemption-safe checkpointing (SURVEY.md §5 failure-detection plan):
+        SIGTERM/SIGINT request a save at the next step boundary, then exit."""
+        import signal
+
+        self._stop_requested = False
+
+        def _handler(signum, frame):
+            self._stop_requested = True
+
+        try:
+            signal.signal(signal.SIGTERM, _handler)
+            signal.signal(signal.SIGINT, _handler)
+        except ValueError:  # non-main thread
+            pass
+
     def train(self) -> None:
+        self._install_preemption_handler()
         for h in self.hooks:
             h.before_train(self)
         assert self.train_loader is not None, "recipe has no train_dataloader"
@@ -200,6 +217,10 @@ class Runner:
                 self.state, aux = self._train_step(self.state, arrays, self.train_rng)
                 for h in self.hooks:
                     h.after_train_iter(self, aux)
+                if getattr(self, "_stop_requested", False):
+                    path = self.save_checkpoint(f"preempt_step_{int(self.state.step)}")
+                    self.log({"preempted": True, "checkpoint": path})
+                    return
             for h in self.hooks:
                 h.after_train_epoch(self)
             if self.val_interval and self.epoch % self.val_interval == 0 and self.val_loader:
@@ -244,6 +265,15 @@ class Runner:
         results: Dict[str, float] = {}
         for m in self.metrics:
             results.update(m.compute())
+        # multi-host: average per-process results (reference: MMEngine gathers
+        # collect_device='cpu' metric lists across ranks — SURVEY.md §5)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            keys = sorted(results)
+            vals = jnp.asarray([results[k] for k in keys], jnp.float32)
+            gathered = multihost_utils.process_allgather(vals)
+            results = {k: float(v) for k, v in zip(keys, np.mean(gathered, axis=0))}
         results["val_imgs_per_sec"] = round(n_images / max(time.time() - t0, 1e-9), 2)
         self.log({"epoch": self.epoch, **{k: round(v, 5) for k, v in results.items()}})
         return results
