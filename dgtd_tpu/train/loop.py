@@ -261,7 +261,7 @@ class Runner:
             for m in self.metrics:
                 m.process(prob_np, label_np)
             if save_visualizations:
-                self._dump_visualizations(vis_dir, batch, prob_np)
+                self._dump_visualizations(vis_dir, batch, prob_np, variables)
         results: Dict[str, float] = {}
         for m in self.metrics:
             results.update(m.compute())
@@ -278,21 +278,44 @@ class Runner:
         self.log({"epoch": self.epoch, **{k: round(v, 5) for k, v in results.items()}})
         return results
 
-    def _dump_visualizations(self, vis_dir: str, batch, prob_np) -> None:
-        """Host-side PNG dumps of input/label/output/depth (reference predict
-        side effects, cod.py:156-217) — outside the compiled path."""
+    def _dump_visualizations(self, vis_dir: str, batch, prob_np, variables=None) -> None:
+        """Host-side PNG dumps of input/label/output/depth/diffusion-texture
+        (reference predict side effects, cod.py:156-217: denormalized input,
+        label, sigmoid output, contrast-enhanced texture map, depth) — all
+        outside the compiled path."""
         from PIL import Image as PILImage
 
         os.makedirs(vis_dir, exist_ok=True)
+
+        def save(name, arr):  # arr (H, W) or (H, W, 3) in [0,1]
+            PILImage.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(vis_dir, name)
+            )
+
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        input_np = np.asarray(jax.device_get(batch["input"]))
+        label_np = np.asarray(jax.device_get(batch["label"]))
+        depth_np = np.asarray(jax.device_get(batch["depth"]))
+        texture_np = None
+        if variables is not None:
+            try:
+                _, extras = self.model.predict(variables, batch["input"], batch["depth"])
+                texture_np = np.asarray(jax.device_get(extras.get("texture")))
+            except Exception:
+                texture_np = None
         raws = batch.get("raw")
         for i in range(prob_np.shape[0]):
             if isinstance(raws, list) and isinstance(raws[i], str):
                 name = os.path.splitext(os.path.basename(raws[i]))[0]
             else:
                 name = f"img{int(self.state.step)}_{i}"
-            arr = (np.clip(prob_np[i, ..., 0], 0, 1) * 255).astype(np.uint8)
-            PILImage.fromarray(arr).save(os.path.join(vis_dir, f"{name}_output.png"))
-            lab = np.asarray(jax.device_get(batch["label"]))[i, ..., 0]
-            PILImage.fromarray((np.clip(lab, 0, 1) * 255).astype(np.uint8)).save(
-                os.path.join(vis_dir, f"{name}_label.png")
-            )
+            save(f"{name}_output.png", prob_np[i, ..., 0])
+            save(f"{name}_label.png", label_np[i, ..., 0])
+            save(f"{name}_input.png", input_np[i] * std + mean)
+            save(f"{name}_depth.png", depth_np[i, ..., 0])
+            if texture_np is not None:
+                # contrast-enhance like the reference (cod.py:194-204)
+                t = texture_np[i].mean(axis=-1)
+                t = np.clip((t - t.mean()) * 2.0 + t.mean(), 0, 1)
+                save(f"{name}_diffusion.png", t)
