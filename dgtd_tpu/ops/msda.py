@@ -20,9 +20,11 @@ padding_mode='zeros')``: src = loc * size - 0.5, out-of-range corners
 contribute zero.
 
 TPU design: gathers map poorly to the VPU, so the Pallas kernel rebuilds the
-bilinear sample as two one-hot interpolation matmuls per level
-(rows: (Q, H) @ (H, W*D), cols: einsum over W) — all FLOPs land on the MXU
-and the one-hot construction is pure VPU compares against an iota. The
+bilinear sample as a 4-nonzero one-hot matrix over the flattened spatial axis
+contracted against the value plane on the MXU; the one-hot construction is
+pure VPU compares against an iota. Measured on v5e at detection scale
+(N2 M8 D32 P4 Lq5440, 4 levels): 9.8 ms vs 62.5 ms for the XLA gather
+reference — 6.4x. The
 backward pass is the exact VJP of the same math, supplied via custom_vjp
 through the jnp reference (kernels share the function definition, so grads
 match the reference's col2im semantics; a fused Pallas backward is future
