@@ -98,6 +98,7 @@ class ConvNeXtFPNEncoder(nn.Module):
             resize_bilinear(
                 Conv(self.out_dim, 1, init_scheme="pvt", dtype=self.dtype, name=f"lateral{i}")(outs[i]),
                 target,
+                exact=False,
             )
             for i in range(len(self.dims))
         ]

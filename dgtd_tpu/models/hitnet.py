@@ -117,21 +117,21 @@ class HitNet(nn.Module):
             if cfm is not None:
                 x4_t = compress_out(
                     jnp.concatenate(
-                        [resize_bilinear(x4_t, (h8, w8), align_corners=True), cfm], axis=-1
+                        [resize_bilinear(x4_t, (h8, w8), align_corners=True, exact=False), cfm], axis=-1
                     ),
                     train,
                 )
             x4_f = dec4(x4_t)
             x3_f = dec3(
                 jnp.concatenate(
-                    [x3_t, resize_bilinear(x4_f, (x3.shape[1], x3.shape[2]), align_corners=True)],
+                    [x3_t, resize_bilinear(x4_f, (x3.shape[1], x3.shape[2]), align_corners=True, exact=False)],
                     axis=-1,
                 )
             )
             if it > 0:
                 x2_t = compress_out2(jnp.concatenate([x2_t, cfm], axis=-1), train)
             x2_f = dec2(
-                jnp.concatenate([x2_t, resize_bilinear(x3_f, (h8, w8), align_corners=True)], axis=-1)
+                jnp.concatenate([x2_t, resize_bilinear(x3_f, (h8, w8), align_corners=True, exact=False)], axis=-1)
             )
             cfm = conv4(x2_f, train)
             pred = out_cfm(cfm)
@@ -139,7 +139,7 @@ class HitNet(nn.Module):
 
         # ------- SAM fusion (cod.py:799-806) -------
         t2 = BasicConv2d(ch, 1, dtype=self.dtype, name="translayer2_0")(cim, train)
-        t2 = resize_bilinear(t2, (h8, w8), align_corners=True)  # down05
+        t2 = resize_bilinear(t2, (h8, w8), align_corners=True, exact=False)  # down05
         sam = SAMFusion(dtype=self.dtype, name="sam")(cfm, t2)
         pred2 = Conv(1, 1, dtype=self.dtype, name="out_SAM")(sam)
         pred2 = resize_bilinear(pred2, full)

@@ -201,7 +201,7 @@ class PVTv2(nn.Module):
             h, w = x.shape[1], x.shape[2]
             for i in range(depths[s]):
                 if prompts is not None:
-                    p = resize_bilinear(prompts[s][i], (h, w)).astype(x.dtype)
+                    p = resize_bilinear(prompts[s][i], (h, w), exact=False).astype(x.dtype)
                     x = x + p
                 x = PVTBlock(
                     dims[s],

@@ -61,25 +61,35 @@ def resize_bilinear(
     x: jax.Array,
     size: Tuple[int, int],
     align_corners: bool = False,
+    exact: bool = True,
 ) -> jax.Array:
     """Bilinear-resize NHWC ``x`` to ``size=(H, W)`` with torch semantics.
 
     Implemented as ``Wh @ x @ Ww^T`` — two matmuls along the spatial axes.
+
+    ``exact=True`` (default): fp32 accumulation at HIGHEST MXU precision —
+    bit-level torch parity for metric-critical paths (prediction upsampling,
+    data preprocessing). ``exact=False``: compute in the input dtype at
+    default precision — for internal bf16 feature resizes (prompt/stage maps)
+    where the surrounding compute is already bf16.
     """
     b, h, w, c = x.shape
     out_h, out_w = int(size[0]), int(size[1])
     if (h, w) == (out_h, out_w):
         return x
     dtype = x.dtype
-    compute = x.astype(jnp.float32)
-    # HIGHEST precision: the interp matmul must not be demoted to bf16 on the
-    # MXU — resized prompts/predictions feed metric-parity paths.
+    if exact:
+        compute = x.astype(jnp.float32)
+        prec = lax.Precision.HIGHEST
+    else:
+        compute = x
+        prec = None
     if h != out_h:
-        wh = jnp.asarray(_interp_matrix(h, out_h, align_corners))
-        compute = jnp.einsum("oh,bhwc->bowc", wh, compute, precision=lax.Precision.HIGHEST)
+        wh = jnp.asarray(_interp_matrix(h, out_h, align_corners)).astype(compute.dtype)
+        compute = jnp.einsum("oh,bhwc->bowc", wh, compute, precision=prec)
     if w != out_w:
-        ww = jnp.asarray(_interp_matrix(w, out_w, align_corners))
-        compute = jnp.einsum("ow,bhwc->bhoc", ww, compute, precision=lax.Precision.HIGHEST)
+        ww = jnp.asarray(_interp_matrix(w, out_w, align_corners)).astype(compute.dtype)
+        compute = jnp.einsum("ow,bhwc->bhoc", ww, compute, precision=prec)
     return compute.astype(dtype)
 
 
