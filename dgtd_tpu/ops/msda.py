@@ -250,3 +250,57 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
                    use_pallas: bool = True, interpret: bool = False):
     op = make_ms_deform_attn(spatial_shapes, use_pallas=use_pallas, interpret=interpret)
     return op(value, sampling_locations, attention_weights)
+
+
+class MSDeformAttn:
+    """Deformable-DETR attention layer over the TPU op.
+
+    The reference's module wrapper is broken surface — ``twig/ops/modules/
+    ms_deform_attn.py`` is a 0-byte file whose import fails (SURVEY.md §2.4).
+    This is the working equivalent: query-conditioned sampling offsets and
+    attention weights (softmax over levels×points) around the kernel. Flax
+    module defined lazily to keep ops import-light."""
+
+    def __new__(cls, *args, **kwargs):
+        return _build_msda_module()(*args, **kwargs)
+
+
+def _build_msda_module():
+    import flax.linen as nn
+
+    class _MSDeformAttn(nn.Module):
+        d_model: int = 256
+        n_levels: int = 4
+        n_heads: int = 8
+        n_points: int = 4
+        use_pallas: bool = True
+        interpret: bool = False
+
+        @nn.compact
+        def __call__(self, query, reference_points, value, spatial_shapes):
+            """query (N, Lq, C); reference_points (N, Lq, L, 2) in [0,1];
+            value (N, S, C); spatial_shapes static ((H,W),...)."""
+            n, lq, c = query.shape
+            m, L, p = self.n_heads, self.n_levels, self.n_points
+            value_proj = nn.Dense(self.d_model, name="value_proj")(value)
+            value_proj = value_proj.reshape(n, -1, m, self.d_model // m)
+            offsets = nn.Dense(m * L * p * 2, name="sampling_offsets")(query)
+            offsets = offsets.reshape(n, lq, m, L, p, 2)
+            weights = nn.Dense(m * L * p, name="attention_weights")(query)
+            weights = jax.nn.softmax(
+                weights.reshape(n, lq, m, L * p), axis=-1
+            ).reshape(n, lq, m, L, p)
+            norm = jnp.asarray(
+                [[wl, hl] for hl, wl in spatial_shapes], jnp.float32
+            )  # (L, 2) in (x, y) order
+            locations = (
+                reference_points[:, :, None, :, None, :]
+                + offsets / norm[None, None, None, :, None, :]
+            )
+            out = ms_deform_attn(
+                value_proj, spatial_shapes, locations, weights,
+                use_pallas=self.use_pallas, interpret=self.interpret,
+            )
+            return nn.Dense(self.d_model, name="output_proj")(out)
+
+    return _MSDeformAttn

@@ -108,3 +108,20 @@ def test_gradients_match_torch(channels):
     np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_msdeformattn_module():
+    """The working module wrapper (reference's is a 0-byte broken file)."""
+    from dgtd_tpu.ops.msda import MSDeformAttn
+
+    shapes = ((8, 8), (4, 4))
+    s = sum(h * w for h, w in shapes)
+    m = MSDeformAttn(d_model=32, n_levels=2, n_heads=4, n_points=2, use_pallas=True, interpret=True)
+    rng = np.random.RandomState(0)
+    query = jnp.asarray(rng.rand(1, 10, 32), jnp.float32)
+    refs = jnp.asarray(rng.rand(1, 10, 2, 2), jnp.float32)
+    value = jnp.asarray(rng.rand(1, s, 32), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), query, refs, value, shapes)
+    out = m.apply(variables, query, refs, value, shapes)
+    assert out.shape == (1, 10, 32)
+    assert np.isfinite(np.asarray(out)).all()
