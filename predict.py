@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Standalone batch inference: images (+ depth maps) -> segmentation masks.
+
+The reference's only inference path is the val loop with inline PNG dumps
+(cod.py:149-219); this is the framework's dedicated serving CLI:
+
+    python predict.py --checkpoint output/cod/epoch_100 \
+        --image-dir data/Imgs --depth-dir data/depth --out-dir masks \
+        [--size 384] [--batch 8] [--model cod]
+
+Depth maps are matched by sorted order (reference dataset convention); with
+--depth-dir omitted, a zero depth plane is used (prompts then carry only
+texture information).
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True, help="orbax dir or .npz")
+    ap.add_argument("--image-dir", required=True)
+    ap.add_argument("--depth-dir", default=None)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--model", default="cod")
+    ap.add_argument("--size", type=int, default=384)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument(
+        "-o", "--model-arg", action="append", default=[],
+        help="model kwargs, e.g. -o variant=b0 -o convnext_depths=[1,1,2,1]",
+    )
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    from dgtd_tpu.core.registry import MODELS
+    from dgtd_tpu.data.datasets import IMAGENET_MEAN, IMAGENET_STD
+    from dgtd_tpu.train.hooks import graft_flat_params, load_npz_tree
+
+    from dgtd_tpu.core.config import _parse_value
+
+    model_kwargs = {}
+    for ov in args.model_arg:
+        k, _, raw = ov.partition("=")
+        model_kwargs[k.strip()] = _parse_value(raw.strip())
+    model = MODELS.get(args.model)(
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16, **model_kwargs
+    )
+    variables = model.init(jax.random.PRNGKey(0), (1, args.size, args.size, 3))
+    params = jax.device_get(variables["params"])
+
+    if os.path.isdir(args.checkpoint):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.checkpoint))
+        src = restored.get("params", restored)
+        params = jax.tree.map(lambda tgt, s: np.asarray(s, tgt.dtype), params, src)
+        n_loaded = "all"
+    else:
+        flat = load_npz_tree(args.checkpoint)
+        prefix = "params/" if any(k.startswith("params/") for k in flat) else ""
+        params, loaded, missed = graft_flat_params(params, flat, prefix=prefix)
+        n_loaded = f"{len(loaded)} loaded / {len(missed)} missed"
+    print(f"checkpoint: {n_loaded}")
+    variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+
+    predict = jax.jit(lambda v, im, d: model.predict(v, im, d)[0])
+
+    files = sorted(os.listdir(args.image_dir))
+    depth_files = sorted(os.listdir(args.depth_dir)) if args.depth_dir else None
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def load(path, mode, norm):
+        with Image.open(path) as im:
+            arr = np.asarray(
+                im.convert(mode).resize((args.size, args.size), Image.BILINEAR),
+                np.float32,
+            ) / 255.0
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return (arr - IMAGENET_MEAN) / IMAGENET_STD if norm else arr
+
+    for start in range(0, len(files), args.batch):
+        chunk = files[start : start + args.batch]
+        imgs = np.stack([load(os.path.join(args.image_dir, f), "RGB", True) for f in chunk])
+        if depth_files:
+            deps = np.stack(
+                [load(os.path.join(args.depth_dir, d), "L", False) for d in depth_files[start : start + args.batch]]
+            )
+        else:
+            deps = np.zeros(imgs.shape[:3] + (1,), np.float32)
+        # pad the tail batch to the compiled shape
+        pad = args.batch - len(chunk)
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], np.float32)])
+            deps = np.concatenate([deps, np.zeros((pad,) + deps.shape[1:], np.float32)])
+        probs = np.asarray(predict(variables, jnp.asarray(imgs), jnp.asarray(deps)))
+        for f, prob in zip(chunk, probs):
+            name = os.path.splitext(f)[0]
+            Image.fromarray((np.clip(prob[..., 0], 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(args.out_dir, f"{name}_output.png")
+            )
+        print(f"{min(start + args.batch, len(files))}/{len(files)}")
+
+
+if __name__ == "__main__":
+    main()
