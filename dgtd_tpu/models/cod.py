@@ -123,6 +123,12 @@ class _SegModel:
         aux["loss"] = loss
         return loss, (aux, new_mutable)
 
+    def tensor(self, variables, image, depth):
+        """Raw forward outputs (reference mode='tensor' — note the reference's
+        branch is stale: it returns an undefined ``output`` (cod.py:220-222);
+        here it returns the full (texture, stage_logits, pred2) tuple)."""
+        return self.net.apply(variables, image, depth, train=False)
+
     def predict(self, variables, image, depth, out_size=None):
         """Eval-mode forward -> (sigmoid probability map, extras)."""
         texture, stage_preds, pred2 = self.net.apply(
