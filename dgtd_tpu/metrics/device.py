@@ -116,7 +116,9 @@ def batch_statistics(prob: jnp.ndarray, label: jnp.ndarray) -> Dict[str, jnp.nda
     p_norm = jnp.where(pmax > pmin, (p - pmin) / span, p)
     q = jnp.clip((p_norm * 255.0).astype(jnp.int32), 0, 255)
 
-    # per-image fg/bg histograms via one-hot matmul (MXU-friendly bincount)
+    # per-image fg/bg histograms via one-hot matmul (MXU-friendly bincount).
+    # NOTE: materializes (B, N, 256) fp32 — ~0.5 GB per 704² image; fine at
+    # the recipes' val batch_size 1, chunk if batching high-res eval.
     onehot = jax.nn.one_hot(q.reshape(b, n), 256, dtype=jnp.float32)  # (B, N, 256)
     gt_flat = gt.reshape(b, n).astype(jnp.float32)
     fg_hist = jnp.einsum("bn,bnk->bk", gt_flat, onehot)
