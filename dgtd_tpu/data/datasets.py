@@ -95,7 +95,7 @@ class FolderSODDataset:
                     keep_gt.append(gt_path)
                     keep_d.append(d_path)
         self.images, self.gts = keep_img, keep_gt
-        if depths[0] is not None:
+        if depths and depths[0] is not None:
             self.depths = keep_d
 
     def __len__(self) -> int:
