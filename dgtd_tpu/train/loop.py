@@ -22,7 +22,7 @@ from ..core.registry import DATASETS, HOOKS, METRICS, MODELS
 from ..data.loader import DataLoader
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from . import optim as optim_lib
-from .state import TrainState, create_train_state, make_eval_step, make_train_step
+from .state import TrainState, make_eval_step, make_train_step
 
 try:
     import orbax.checkpoint as ocp
