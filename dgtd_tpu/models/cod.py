@@ -46,6 +46,7 @@ class CODNet(nn.Module):
     fft_at_grid: bool = False
     convnext_dims: tuple = (128, 256, 512, 1024)
     convnext_depths: tuple = (3, 3, 27, 3)
+    remat: bool = False
     refine_iters: int = 4
     use_prompts: bool = True
     dtype: Dtype = jnp.float32
@@ -63,6 +64,7 @@ class CODNet(nn.Module):
             fft_at_grid=self.fft_at_grid,
             convnext_dims=tuple(self.convnext_dims),
             convnext_depths=tuple(self.convnext_depths),
+            remat=self.remat,
             refine_iters=self.refine_iters,
             use_prompts=self.use_prompts,
             dtype=self.dtype,

@@ -66,12 +66,14 @@ class ConvNeXtFPNEncoder(nn.Module):
     depths: Sequence[int] = (3, 3, 27, 3)
     drop_path_rate: float = 0.4
     layer_scale_init: float = 1.0
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         det = not train
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+        block_cls = nn.remat(ConvNeXtBlock, static_argnums=(2,)) if self.remat else ConvNeXtBlock
         outs = []
         cur = 0
         for i in range(len(self.dims)):
@@ -82,7 +84,7 @@ class ConvNeXtFPNEncoder(nn.Module):
                 x = LayerNorm(eps=1e-6, dtype=self.dtype, name=f"down_norm{i}")(x)
                 x = Conv(self.dims[i], 2, 2, 0, init_scheme="pvt", dtype=self.dtype, name=f"down_conv{i}")(x)
             for j in range(self.depths[i]):
-                x = ConvNeXtBlock(
+                x = block_cls(
                     self.dims[i],
                     float(dpr[cur + j]),
                     self.layer_scale_init,

@@ -115,6 +115,7 @@ class PromptEncoder(nn.Module):
     fft_at_grid: bool = False
     convnext_dims: Tuple[int, ...] = (128, 256, 512, 1024)
     convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -161,6 +162,7 @@ class PromptEncoder(nn.Module):
             out_dim=24,
             dims=tuple(self.convnext_dims),
             depths=tuple(self.convnext_depths),
+            remat=self.remat,
             dtype=self.dtype,
             name="encoder2",
         )(diffused + image, train=train)

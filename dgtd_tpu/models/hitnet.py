@@ -57,6 +57,7 @@ class HitNet(nn.Module):
     fft_at_grid: bool = False
     convnext_dims: tuple = (128, 256, 512, 1024)
     convnext_depths: tuple = (3, 3, 27, 3)
+    remat: bool = False
     refine_iters: int = 4
     use_prompts: bool = True
     dtype: Dtype = jnp.float32
@@ -77,6 +78,7 @@ class HitNet(nn.Module):
                 fft_at_grid=self.fft_at_grid,
                 convnext_dims=tuple(self.convnext_dims),
                 convnext_depths=tuple(self.convnext_depths),
+                remat=self.remat,
                 dtype=self.dtype,
                 name="prompt_encoder",
             )(image, depth, train)
@@ -89,9 +91,9 @@ class HitNet(nn.Module):
         else:
             texture, prompts = None, None
 
-        x1, x2, x3, x4 = PVTv2(variant=self.variant, dtype=self.dtype, name="backbone")(
-            image, prompts, train
-        )
+        x1, x2, x3, x4 = PVTv2(
+            variant=self.variant, remat=self.remat, dtype=self.dtype, name="backbone"
+        )(image, prompts, train)
 
         # ------- CIM + translayers -------
         cim = CABStack(dtype=self.dtype, name="decoder_level1")(x1)

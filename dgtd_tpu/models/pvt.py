@@ -176,6 +176,10 @@ class PVTv2(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     qkv_bias: bool = True
+    #: rematerialize each transformer block on the backward pass
+    #: (jax.checkpoint) — trades ~1/3 more FLOPs for O(depth) less activation
+    #: memory, enabling larger train batches.
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -188,6 +192,7 @@ class PVTv2(nn.Module):
         dims, heads, ratios, depths, srs = PVT_V2_CONFIGS[self.variant]
         dpr = np.linspace(0, self.drop_path_rate, sum(depths))
         det = not train
+        block_cls = nn.remat(PVTBlock, static_argnums=(2,)) if self.remat else PVTBlock
         outs = []
         cur = 0
         for s in range(4):
@@ -203,7 +208,7 @@ class PVTv2(nn.Module):
                 if prompts is not None:
                     p = resize_bilinear(prompts[s][i], (h, w), exact=False).astype(x.dtype)
                     x = x + p
-                x = PVTBlock(
+                x = block_cls(
                     dims[s],
                     heads[s],
                     ratios[s],
