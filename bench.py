@@ -88,6 +88,7 @@ def main():
     ap.add_argument("--cpu-baseline-mode", action="store_true",
                     help="measure on CPU and write bench_baseline.json")
     ap.add_argument("--mode", choices=["infer", "train"], default="infer")
+    ap.add_argument("--remat", action="store_true", help="per-block rematerialization")
     args = ap.parse_args()
 
     if args.cpu_baseline_mode:
@@ -95,7 +96,7 @@ def main():
 
     from dgtd_tpu.models import cod
 
-    model = cod(dtype=jnp.bfloat16)
+    model = cod(dtype=jnp.bfloat16, remat=args.remat)
     variables = model.init(jax.random.PRNGKey(0), (1, args.size, args.size, 3))
 
     if args.mode == "train":
