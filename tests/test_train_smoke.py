@@ -118,3 +118,42 @@ def test_dqnet_variant_forward():
     batch = {"input": img, "depth": dep, "label": jnp.zeros((1, 48, 48, 1))}
     loss, (aux, _) = m.loss(v, batch, rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(float(loss))
+
+
+def test_training_is_deterministic(tmp_path_factory):
+    """Same seed => identical first-step loss (RNG plumbing is pure)."""
+    from dgtd_tpu.data.datasets import SyntheticSODDataset
+    from dgtd_tpu.data.loader import DataLoader
+    from dgtd_tpu.train.loop import Runner
+
+    losses = []
+    for run in range(2):
+        tmp = tmp_path_factory.mktemp(f"det{run}")
+        cfg = tiny_cfg(tmp)
+        r = Runner(cfg, work_dir=str(tmp), seed=123, dtype=jnp.float32)
+        ds = SyntheticSODDataset(n=8, size=48)
+        r.train_loader = DataLoader(ds, batch_size=8, shuffle=True, seed=123, sharding=r.data_sharding, drop_last=True)
+        r.batch_size = 8
+        r.max_epochs = 1
+        r.val_interval = 0
+        captured = []
+
+        class Cap:
+            priority = 99
+
+            def before_train(self, rr):
+                pass
+
+            def after_train_iter(self, rr, aux):
+                captured.append(float(aux["loss"]))
+
+            def after_train_epoch(self, rr):
+                pass
+
+            def before_val(self, rr):
+                pass
+
+        r.hooks.append(Cap())
+        r.train()
+        losses.append(captured)
+    assert losses[0] == losses[1], losses
