@@ -40,6 +40,7 @@ class Runner:
         seed: int = 0,
         mesh=None,
         dtype=jnp.bfloat16,
+        mode: str = "train",
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -58,8 +59,12 @@ class Runner:
         self.val_interval = int(tc.get("val_interval", self.max_epochs))
         self.epoch = 0
 
-        # datasets / loaders
-        self.train_loader = self._build_loader(cfg.get("train_dataloader"), train=True)
+        # datasets / loaders (val-only runs don't need the train dataset)
+        self.train_loader = (
+            self._build_loader(cfg.get("train_dataloader"), train=True)
+            if mode == "train"
+            else None
+        )
         self.val_loader = self._build_loader(cfg.get("val_dataloader"), train=False)
         self.batch_size = cfg.get("train_dataloader", {}).get("batch_size", 1)
 

@@ -45,6 +45,7 @@ def main():
         work_dir=get_dotted(cfg, "work_dir", "./output/run"),
         seed=int(get_dotted(cfg, "seed", 0)),
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        mode=args.mode,
     )
     if args.resume:
         runner.resume(args.resume)
