@@ -207,3 +207,19 @@ def normalize_01(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     lo = jnp.min(x)
     hi = jnp.max(x)
     return (x - lo) / (hi - lo + eps)
+
+
+def compute_surface_normals(depth: jax.Array) -> jax.Array:
+    """Depth map -> unit surface normals (reference ``compute_surface_normals``,
+    cod.py:96-109: central-difference gradients, n = (-dz/dx, -dz/dy, 1)
+    normalized). NHWC: depth (B, H, W, 1) -> normals (B, H, W, 3).
+
+    NOTE: the reference calls this each forward and discards the result
+    (cod.py:125); provided here as a usable utility instead."""
+    d = depth[..., 0].astype(jnp.float32)
+    dzdy, dzdx = jnp.gradient(d, axis=(1, 2))
+    nx = -dzdy  # reference's dim=2 (rows) gradient feeds normal_x
+    ny = -dzdx
+    nz = jnp.ones_like(d)
+    norm = jnp.sqrt(nx**2 + ny**2 + nz**2)
+    return jnp.stack([nx / norm, ny / norm, nz / norm], axis=-1).astype(depth.dtype)

@@ -92,3 +92,15 @@ def test_max_pool():
     ours = np.asarray(I.max_pool(jnp.asarray(x), 2, 2))
     ref = from_torch(F.max_pool2d(to_nchw(x), 2, 2))
     np.testing.assert_allclose(ours, ref)
+
+
+def test_surface_normals_matches_torch_gradient():
+    depth = np.random.RandomState(7).rand(2, 16, 16, 1).astype(np.float32)
+    ours = np.asarray(I.compute_surface_normals(jnp.asarray(depth)))
+    t = torch.from_numpy(depth.transpose(0, 3, 1, 2).copy())
+    dzdx = torch.gradient(t, dim=2)[0]
+    dzdy = torch.gradient(t, dim=3)[0]
+    nx, ny, nz = -dzdx, -dzdy, torch.ones_like(t)
+    norm = torch.sqrt(nx**2 + ny**2 + nz**2)
+    ref = torch.cat([nx / norm, ny / norm, nz / norm], dim=1).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
