@@ -47,6 +47,7 @@ class DataLoader:
         sharding: Optional[jax.sharding.Sharding] = None,
         prefetch: int = 2,
         device_put: bool = True,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -57,6 +58,13 @@ class DataLoader:
         self.prefetch = prefetch
         self.device_put = device_put
         self.epoch = 0
+        # decode/augment thread pool (recipe num_workers parity; PIL decode
+        # and the native pixel pipeline both release the GIL on the hot parts)
+        self._pool = None
+        if num_workers and num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=int(num_workers))
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -72,12 +80,17 @@ class DataLoader:
 
     def _make_batch(self, indices) -> Dict[str, Any]:
         train = getattr(self.dataset, "train_mode", False)
-        samples = []
-        for i in indices:
+
+        def fetch(i):
             rng = (
                 np.random.default_rng((self.seed, self.epoch, int(i))) if train else None
             )
-            samples.append(self.dataset.get(int(i), rng))
+            return self.dataset.get(int(i), rng)
+
+        if self._pool is not None:
+            samples = list(self._pool.map(fetch, indices))
+        else:
+            samples = [fetch(i) for i in indices]
         batch = collate(samples)
         if self.device_put:
             batch = {

@@ -137,6 +137,7 @@ class Runner:
             seed=self.seed,
             drop_last=train,
             sharding=self.data_sharding if train else None,
+            num_workers=int(loader_cfg.get("num_workers", 0)),
         )
 
     def log(self, record: Dict[str, Any]) -> None:
