@@ -99,6 +99,114 @@ def to_tap_major(norm_weight: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Fused Pallas backward (the reference's col2im analog)
+#
+# The generic VJP of the stencil materializes the (P, k², H, W) unfold —
+# exactly what the forward kernel avoids. These kernels keep the backward
+# streaming too:
+#   dx[q'] = Σ_t (g ⊙ w_t)[q' + (r-dy, r-dx)]   (transpose stencil, kernel A)
+#   dw_t[q] = g[q] · x[q + (dy-r, dx-r)]          (per-tap product, kernel B)
+# Each reads its operands once; nothing k²-sized is materialized beyond the
+# (true) k²-sized dw output itself. (Reference counterpart: the 5 CUDA col2im
+# shm-reduction variants, ms_deform_im2col_cuda.cuh:301-921.)
+# ---------------------------------------------------------------------------
+
+
+def _stencil_bwd_x_kernel(g_ref, w_ref, out_ref, *, K: int, W: int, STRIP: int):
+    """g_ref: (1, H+2r, W+2r) padded grad; w_ref: (1, K*K, STRIP+2r, W+2r)
+    halo'd weights; out_ref: (1, STRIP, W)."""
+    j = pl.program_id(1)
+    row0 = pl.multiple_of(j * STRIP, STRIP)
+    r = K // 2
+    g_slab = g_ref[0, pl.ds(row0, STRIP + 2 * r), :]  # (STRIP+2r, W+2r)
+    acc = jnp.zeros((STRIP, W), jnp.float32)
+    for t in range(K * K):
+        dy, dx = t // K, t % K
+        oy, ox = 2 * r - dy, 2 * r - dx  # source offset for the transpose tap
+        gs = g_slab[oy : oy + STRIP, ox : ox + W]
+        ws = w_ref[0, t, oy : oy + STRIP, ox : ox + W]
+        acc = acc + gs.astype(jnp.float32) * ws.astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _stencil_bwd_w_kernel(x_ref, g_ref, out_ref, *, K: int, W: int, STRIP: int):
+    """x_ref: (1, H+2r, W+2r) padded input; g_ref: (1, STRIP, W);
+    out_ref: (1, K*K, STRIP, W)."""
+    j = pl.program_id(1)
+    row0 = pl.multiple_of(j * STRIP, STRIP)
+    slab = x_ref[0, pl.ds(row0, STRIP + 2 * (K // 2)), :]
+    g = g_ref[0].astype(jnp.float32)
+    for t in range(K * K):
+        dy, dx = t // K, t % K
+        xs = slab[dy : dy + STRIP, dx : dx + W]
+        out_ref[0, t] = (g * xs.astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _bwd_strip(h: int, w: int, kernel: int) -> int:
+    strip = h
+    for s in (64, 32, 16, 8):
+        if h % s == 0 and kernel * kernel * (s + kernel - 1) * (w + kernel - 1) * 4 <= 4 * 2**20:
+            strip = s
+            break
+    return strip
+
+
+def diffusion_step_bwd_pallas(
+    g_planes: jnp.ndarray,
+    x_planes: jnp.ndarray,
+    w_planes: jnp.ndarray,
+    kernel: int,
+    interpret: bool = False,
+):
+    """One-step backward in plane layout.
+
+    g (P, H, W) = dL/d(step output); x (P, H, W) = step input;
+    w (P, k², H, W) normalized weights. Returns (dx, dw) in the same layouts.
+    """
+    p, h, w = g_planes.shape
+    r = kernel // 2
+    strip = _bwd_strip(h, w, kernel)
+    g_pad = jnp.pad(g_planes, ((0, 0), (r, r), (r, r)))
+    w_pad = jnp.pad(w_planes, ((0, 0), (0, 0), (r, r), (r, r)))
+    x_pad = jnp.pad(x_planes, ((0, 0), (r, r), (r, r)))
+
+    kern_x = functools.partial(_stencil_bwd_x_kernel, K=kernel, W=w, STRIP=strip)
+    dx = pl.pallas_call(
+        kern_x,
+        grid=(p, h // strip),
+        in_specs=[
+            pl.BlockSpec((1, h + 2 * r, w + 2 * r), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec(
+                (
+                    pl.Element(1),
+                    pl.Element(kernel * kernel),
+                    pl.Element(strip + 2 * r),
+                    pl.Element(w + 2 * r),
+                ),
+                lambda i, j: (i, 0, j * strip, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, strip, w), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, h, w), g_planes.dtype),
+        interpret=interpret,
+    )(g_pad, w_pad)
+
+    kern_w = functools.partial(_stencil_bwd_w_kernel, K=kernel, W=w, STRIP=strip)
+    dw = pl.pallas_call(
+        kern_w,
+        grid=(p, h // strip),
+        in_specs=[
+            pl.BlockSpec((1, h + 2 * r, w + 2 * r), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, strip, w), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, kernel * kernel, strip, w), lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, kernel * kernel, h, w), g_planes.dtype),
+        interpret=interpret,
+    )(x_pad, g_planes)
+    return dx, dw
+
+
+# ---------------------------------------------------------------------------
 # v2 kernel: channels-as-batch, W-in-lanes layout
 #
 # The NHWC layout puts C (= 24 latent channels) in the lane dimension — 24 of
@@ -174,7 +282,29 @@ def diffusion_pallas_v2(
 
 
 def _diffusion_v2_fwd(x, norm_weight, kernel, steps, interpret):
-    return diffusion_pallas_v2(x, norm_weight, kernel, steps, interpret), (x, norm_weight)
+    b, h, w, c = x.shape
+    xp = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+    wp = norm_weight.transpose(0, 3, 4, 1, 2).reshape(b * c, kernel * kernel, h, w)
+    step_inputs = []
+    for _ in range(steps):
+        step_inputs.append(xp)
+        xp = diffusion_step_pallas_v2(xp, wp, kernel, interpret=interpret)
+    out = xp.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    return out, (tuple(step_inputs), wp, (b, h, w, c))
+
+
+def _diffusion_v2_bwd(kernel, steps, interpret, res, g):
+    """Fused streaming backward: transpose-stencil dx + per-tap dw kernels."""
+    step_inputs, wp, (b, h, w, c) = res
+    gp = g.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+    dw = None
+    for s in range(steps - 1, -1, -1):
+        gx, gw = diffusion_step_bwd_pallas(gp, step_inputs[s], wp, kernel, interpret)
+        dw = gw if dw is None else dw + gw
+        gp = gx
+    dx = gp.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    dnw = dw.reshape(b, c, kernel * kernel, h, w).transpose(0, 3, 4, 1, 2)
+    return dx, dnw
 
 
 def _reference_step(x: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int) -> jnp.ndarray:
@@ -223,4 +353,4 @@ def _diffusion_bwd(kernel, steps, interpret, res, g):
 
 
 diffusion_pallas.defvjp(_diffusion_fwd, _diffusion_bwd)
-diffusion_pallas_v2.defvjp(_diffusion_v2_fwd, _diffusion_bwd)
+diffusion_pallas_v2.defvjp(_diffusion_v2_fwd, _diffusion_v2_bwd)

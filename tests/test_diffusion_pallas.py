@@ -80,3 +80,26 @@ def test_diffusion_pallas_v2_matches_and_grads():
         return jnp.sum(y**2)
     gx_r = jax.grad(ref_loss)(x)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
+
+
+def test_diffusion_pallas_v2_weight_gradients():
+    """Fused per-tap dw kernel vs reference weight gradients."""
+    import jax
+
+    from dgtd_tpu.ops.diffusion_pallas import diffusion_pallas_v2
+
+    rng = np.random.RandomState(5)
+    k, steps, h, c = 7, 3, 16, 4
+    x = jnp.asarray(rng.randn(1, h, h, c), jnp.float32)
+    nw = normalize_affinity(jnp.asarray(rng.rand(1, h, h, c, k * k), jnp.float32))
+
+    gw_p = jax.grad(lambda w: jnp.sum(diffusion_pallas_v2(x, w, k, steps, True) ** 2))(nw)
+
+    def ref_loss(w):
+        y = x
+        for _ in range(steps):
+            y = message_passing_step(y, w, k)
+        return jnp.sum(y**2)
+
+    gw_r = jax.grad(ref_loss)(nw)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
