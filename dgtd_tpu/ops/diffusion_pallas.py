@@ -167,7 +167,10 @@ def diffusion_step_bwd_pallas(
     r = kernel // 2
     strip = _bwd_strip(h, w, kernel)
     g_pad = jnp.pad(g_planes, ((0, 0), (r, r), (r, r)))
-    w_pad = jnp.pad(w_planes, ((0, 0), (0, 0), (r, r), (r, r)))
+    # Mosaic needs the Element block's sublane dim %8: round the weight slab
+    # height up and bottom-pad the array so every strip's window is in bounds
+    slab_h = -(-(strip + 2 * r) // 8) * 8
+    w_pad = jnp.pad(w_planes, ((0, 0), (0, 0), (r, slab_h - strip - r), (r, r)))
     x_pad = jnp.pad(x_planes, ((0, 0), (r, r), (r, r)))
 
     kern_x = functools.partial(_stencil_bwd_x_kernel, K=kernel, W=w, STRIP=strip)
@@ -180,7 +183,7 @@ def diffusion_step_bwd_pallas(
                 (
                     pl.Element(1),
                     pl.Element(kernel * kernel),
-                    pl.Element(strip + 2 * r),
+                    pl.Element(slab_h),
                     pl.Element(w + 2 * r),
                 ),
                 lambda i, j: (i, 0, j * strip, 0),
