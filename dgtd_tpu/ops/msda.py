@@ -211,12 +211,108 @@ def ms_deform_attn_pallas_fwd(
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward: dValue as one-hot-transpose matmuls
+#
+# The value gradient is the reference backward's scatter-add (the CUDA
+# col2im's atomicAdd path) — here it is the TRANSPOSE of the forward's
+# one-hot contraction: dV = Σ_p onehotᵀ (HW, QB) @ g (QB, D), accumulated
+# across query blocks by revisiting the output block over the sequential TPU
+# grid. Location/weight grads stay on the (cheap, gather-sized) reference VJP.
+# ---------------------------------------------------------------------------
+
+
+def _msda_dvalue_kernel(x_ref, y_ref, w_ref, g_ref, out_ref, *, H, W, D, P):
+    """x/y/w_ref: (1, P, QB); g_ref: (1, QB, D); out_ref: (1, H*W, D)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    qb = g_ref.shape[1]
+    g = g_ref[0].astype(jnp.float32)  # (QB, D)
+    hw_iota = lax.broadcasted_iota(jnp.int32, (qb, H * W), 1)
+    hi = hw_iota // W
+    wi = hw_iota % W
+    acc = jnp.zeros((H * W, D), jnp.float32)
+    for p_idx in range(P):
+        x = x_ref[0, p_idx, :]
+        y = y_ref[0, p_idx, :]
+        aw = w_ref[0, p_idx, :]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x0i = x0.astype(jnp.int32)[:, None]
+        y0i = y0.astype(jnp.int32)[:, None]
+        ry = jnp.where(hi == y0i, 1.0 - fy, 0.0) + jnp.where(hi == y0i + 1, fy, 0.0)
+        cx = jnp.where(wi == x0i, 1.0 - fx, 0.0) + jnp.where(wi == x0i + 1, fx, 0.0)
+        onehot = ry * cx * aw[:, None]  # (QB, H*W)
+        acc = acc + jax.lax.dot_general(
+            onehot, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # onehotᵀ @ g -> (H*W, D)
+    out_ref[0] = out_ref[0] + acc.astype(out_ref.dtype)
+
+
+def ms_deform_attn_pallas_dvalue(
+    g, value_shape_info, spatial_shapes, sampling_locations, attention_weights,
+    q_block: int = 128, interpret: bool = False,
+):
+    """dL/dValue. g: (N, Lq, M*D); returns (N, S, M, D)."""
+    n, s, m, d = value_shape_info
+    _, lq, _, L, p, _ = sampling_locations.shape
+    lq_pad = _round_up(lq, q_block)
+    g_planes = g.reshape(n, lq, m, d).transpose(0, 2, 1, 3).reshape(n * m, lq, d)
+    g_planes = jnp.pad(g_planes, ((0, 0), (0, lq_pad - lq), (0, 0)))
+
+    level_grads = []
+    for lid, (hl, wl) in enumerate(spatial_shapes):
+        hl, wl = int(hl), int(wl)
+        loc = sampling_locations[:, :, :, lid]
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        w = attention_weights[:, :, :, lid]
+
+        def to_npq(a):
+            a = a.transpose(0, 2, 3, 1).reshape(n * m, p, lq)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, lq_pad - lq)))
+
+        xq, yq, wq = to_npq(x), to_npq(y), to_npq(w)
+        kernel = functools.partial(_msda_dvalue_kernel, H=hl, W=wl, D=d, P=p)
+        dv = pl.pallas_call(
+            kernel,
+            grid=(n * m, lq_pad // q_block),
+            in_specs=[
+                pl.BlockSpec((1, p, q_block), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, p, q_block), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, p, q_block), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hl * wl, d), lambda i, j: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n * m, hl * wl, d), jnp.float32),
+            interpret=interpret,
+        )(xq, yq, wq, g_planes)
+        level_grads.append(dv)
+    dv_all = jnp.concatenate(level_grads, axis=1)  # (N*M, S, D)
+    return dv_all.reshape(n, m, s, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # public op with custom VJP (backward via the reference math)
 # ---------------------------------------------------------------------------
 
 
-def make_ms_deform_attn(spatial_shapes, use_pallas: bool = True, interpret: bool = False):
-    """Build the op for a static level layout (shapes are compile-time)."""
+def make_ms_deform_attn(
+    spatial_shapes,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    pallas_backward: bool = True,
+):
+    """Build the op for a static level layout (shapes are compile-time).
+
+    ``pallas_backward``: compute dValue (the scatter-add term) with the
+    one-hot-transpose Pallas kernel; location/weight grads always come from
+    the reference VJP (gather-sized work)."""
 
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
 
@@ -237,6 +333,15 @@ def make_ms_deform_attn(spatial_shapes, use_pallas: bool = True, interpret: bool
 
     def bwd(res, g):
         value, sl, aw = res
+        if use_pallas and pallas_backward:
+            dv = ms_deform_attn_pallas_dvalue(
+                g, value.shape, shapes, sl, aw, interpret=interpret
+            ).astype(value.dtype)
+            _, vjp = jax.vjp(
+                lambda s, a: ms_deform_attn_reference(value, shapes, s, a), sl, aw
+            )
+            dsl, daw = vjp(g)
+            return dv, dsl, daw
         _, vjp = jax.vjp(
             lambda v, s, a: ms_deform_attn_reference(v, shapes, s, a), value, sl, aw
         )
