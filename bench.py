@@ -30,8 +30,10 @@ import numpy as np
 # Persistent compilation cache: the full train step is a multi-minute compile
 # on the remote TPU service; cache survives across runs.
 try:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # TPU-only: cross-machine CPU AOT cache entries can SIGILL on this host
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 except Exception:
     pass
 from jax import lax

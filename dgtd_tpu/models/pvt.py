@@ -151,6 +151,9 @@ class OverlapPatchEmbed(nn.Module):
 
 PVT_V2_CONFIGS = {
     # name: (embed_dims, num_heads, mlp_ratios, depths, sr_ratios)
+    # "tiny" is not a reference variant: a 1-block-per-stage config for
+    # fast compile-check dry runs (driver multichip dryrun, CI smoke).
+    "tiny": ([8, 16, 32, 64], [1, 2, 4, 8], [2, 2, 2, 2], [1, 1, 1, 1], [8, 4, 2, 1]),
     "b0": ([32, 64, 160, 256], [1, 2, 5, 8], [8, 8, 4, 4], [2, 2, 2, 2], [8, 4, 2, 1]),
     "b1": ([64, 128, 320, 512], [1, 2, 5, 8], [8, 8, 4, 4], [2, 2, 2, 2], [8, 4, 2, 1]),
     "b2": ([64, 128, 320, 512], [1, 2, 5, 8], [8, 8, 4, 4], [3, 4, 6, 3], [8, 4, 2, 1]),

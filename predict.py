@@ -21,8 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # TPU-only: cross-machine CPU AOT cache entries can SIGILL on this host
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 except Exception:
     pass
 

@@ -17,10 +17,13 @@ import jax
 import jax.numpy as jnp
 
 # Persistent compilation cache: the full train step is a multi-minute compile
-# on the remote TPU service; cache survives across runs.
+# on the remote TPU service; cache survives across runs. TPU-only: CPU AOT
+# artifacts are machine-feature-sensitive and a cache entry compiled
+# elsewhere can SIGILL on this host (observed: +prefer-no-scatter mismatch).
 try:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 except Exception:
     pass
 
