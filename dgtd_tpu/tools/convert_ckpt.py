@@ -203,10 +203,10 @@ _HITNET_BASICCONV = {
 }
 
 _SAM_DENSE = {
-    "fc.0.weight": ("sam/Dense_0/Dense_0/kernel", _lin_w),
-    "fc.2.weight": ("sam/Dense_1/Dense_1/kernel", _lin_w),
-    "fc_wight.0.weight": ("sam/Dense_2/Dense_2/kernel", _lin_w),
-    "fc_wight.2.weight": ("sam/Dense_3/Dense_3/kernel", _lin_w),
+    "fc.0.weight": ("hitnet/sam/Dense_0/Dense_0/kernel", _lin_w),
+    "fc.2.weight": ("hitnet/sam/Dense_1/Dense_1/kernel", _lin_w),
+    "fc_wight.0.weight": ("hitnet/sam/Dense_2/Dense_2/kernel", _lin_w),
+    "fc_wight.2.weight": ("hitnet/sam/Dense_3/Dense_3/kernel", _lin_w),
 }
 
 _DEC_LEVELS = {
