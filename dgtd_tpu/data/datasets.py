@@ -124,17 +124,20 @@ class FolderSODDataset:
             inp = pixelops.resize_normalize(img_u8, size, IMAGENET_MEAN, IMAGENET_STD, flip)
             label = pixelops.resize_normalize(self._decode(self.gts[index], "L"), size, flip=flip)
             depth = pixelops.resize_normalize(self._decode(self.depths[index], "L"), size, flip=flip)
-            raw = self.images[index] if self.raw_as_path else pixelops.resize_normalize(img_u8, size, flip=flip)
+            # reference contract: raw is the resized image WITHOUT flip or
+            # normalization (raw_transform = Compose([Resize]) only,
+            # camo_test.py:28-30, cod10k_camo_train.py:47)
+            raw = self.images[index] if self.raw_as_path else pixelops.resize_normalize(img_u8, size)
             return {"raw": raw, "input": inp, "label": label, "depth": depth}
 
         image = self._load_resized(self.images[index], "RGB")
         label = self._load_resized(self.gts[index], "L")
         depth = self._load_resized(self.depths[index], "L")
+        raw = self.images[index] if self.raw_as_path else image  # pre-flip (see above)
         if flip:
             image = image[:, ::-1].copy()
             label = label[:, ::-1].copy()
             depth = depth[:, ::-1].copy()
-        raw = self.images[index] if self.raw_as_path else image
         return {
             "raw": raw,
             "input": (image - IMAGENET_MEAN) / IMAGENET_STD,
@@ -150,17 +153,19 @@ class FolderSODDataset:
 @export
 @DATASETS.register
 class COD10K_CAMO_TRAIN(FolderSODDataset):
-    """COD train (COD10K+CAMO), 384², paired flips (cod10k_camo_train.py:12)."""
+    """COD train (COD10K+CAMO), 384², paired flips (cod10k_camo_train.py:12).
+
+    ``raw`` = resized un-flipped image (cod10k_camo_train.py:75)."""
 
     image_subdir = "Imgs"
     train_mode = True
-    raw_as_path = True
+    raw_as_path = False
 
 
 @export
 @DATASETS.register
 class COD10K_TEST(FolderSODDataset):
-    """COD10K test split: sorted[3381:], 384², raw=path (cod10k_test.py:10)."""
+    """COD10K test split: sorted[3381:], 384², raw=path (cod10k_test.py:53)."""
 
     image_subdir = "Image"
     skip_first = 3381
@@ -170,48 +175,50 @@ class COD10K_TEST(FolderSODDataset):
 @export
 @DATASETS.register
 class COD_TEST(FolderSODDataset):
-    """CAMO test, 704² (camo_test.py:10)."""
+    """CAMO test, 704² (camo_test.py:10); ``raw`` = resized image (camo_test.py:44-47)."""
 
     image_subdir = "Image"
     size = 704
-    raw_as_path = True
+    raw_as_path = False
 
 
 @export
 @DATASETS.register
 class CHAMELEON(FolderSODDataset):
-    """CHAMELEON test, 704² (chameleon.py)."""
+    """CHAMELEON test, 704² (chameleon.py); ``raw`` = resized image (chameleon.py:44-47)."""
 
     image_subdir = "Image"
     size = 704
-    raw_as_path = True
+    raw_as_path = False
 
 
 @export
 @DATASETS.register
 class NC4K(FolderSODDataset):
-    """NC4K test, 704², nested under train/ (nc4k.py)."""
+    """NC4K test, 704², nested under train/ (nc4k.py); ``raw`` = resized image (nc4k.py:42-45)."""
 
     image_subdir = "Image"
     size = 704
     nested = ("train",)
-    raw_as_path = True
+    raw_as_path = False
 
 
 @export
 @DATASETS.register
 class SOD_TRAIN(FolderSODDataset):
-    """RGB-D SOD train, RGB/ image dir, 384² (sod_train.py:12)."""
+    """RGB-D SOD train, RGB/ image dir, 384² (sod_train.py:12).
+
+    ``raw`` = resized un-flipped image (sod_train.py:74)."""
 
     image_subdir = "RGB"
     train_mode = True
-    raw_as_path = True
+    raw_as_path = False
 
 
 @export
 @DATASETS.register
 class SOD_TEST(FolderSODDataset):
-    """RGB-D SOD test (NJU2K per config/sod.yml:32), 384² (sod_test.py:10)."""
+    """RGB-D SOD test (NJU2K per config/sod.yml:32), 384²; raw=path (sod_test.py:52)."""
 
     image_subdir = "RGB"
     raw_as_path = True

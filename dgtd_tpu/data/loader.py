@@ -93,11 +93,13 @@ class DataLoader:
             samples = [fetch(i) for i in indices]
         batch = collate(samples)
         if self.device_put:
+            # 'raw' is host-side only (visualization naming / PNG dumps,
+            # reference cod.py:156-217) — never shipped to the device.
             batch = {
                 k: (
                     jax.device_put(v, self.sharding) if self.sharding is not None else jax.device_put(v)
                 )
-                if isinstance(v, np.ndarray)
+                if isinstance(v, np.ndarray) and k != "raw"
                 else v
                 for k, v in batch.items()
             }

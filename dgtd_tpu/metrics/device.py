@@ -89,6 +89,39 @@ def _smeasure_single(p: jnp.ndarray, gt: jnp.ndarray, alpha: float = 0.5) -> jnp
     return sm
 
 
+#: pixels per histogram block: the scan body materializes one
+#: (B, _HIST_CHUNK, 256) fp32 one-hot (16 MB at B=4) instead of (B, N, 256)
+_HIST_CHUNK = 16384
+
+
+def _chunked_histograms(q: jnp.ndarray, fg_w: jnp.ndarray):
+    """Per-image 256-bin fg/bg histograms of ``q`` (B, N) int32 bins with
+    foreground weights ``fg_w`` (B, N) in {0,1}; returns two (B, 256) f32."""
+    b, n = q.shape
+    pad = (-n) % _HIST_CHUNK
+    valid = jnp.pad(jnp.ones((b, n), jnp.float32), ((0, 0), (0, pad)))
+    q = jnp.pad(q, ((0, 0), (0, pad)))
+    fg_w = jnp.pad(fg_w, ((0, 0), (0, pad)))
+    nc = q.shape[1] // _HIST_CHUNK
+    chunks = (
+        q.reshape(b, nc, _HIST_CHUNK).transpose(1, 0, 2),
+        fg_w.reshape(b, nc, _HIST_CHUNK).transpose(1, 0, 2),
+        valid.reshape(b, nc, _HIST_CHUNK).transpose(1, 0, 2),
+    )
+
+    def step(carry, xs):
+        fg, bg = carry
+        qi, fgi, vi = xs
+        onehot = jax.nn.one_hot(qi, 256, dtype=jnp.float32)
+        fg = fg + jnp.einsum("bn,bnk->bk", fgi, onehot)
+        bg = bg + jnp.einsum("bn,bnk->bk", vi - fgi, onehot)
+        return (fg, bg), None
+
+    zeros = jnp.zeros((b, 256), jnp.float32)
+    (fg_hist, bg_hist), _ = jax.lax.scan(step, (zeros, zeros), chunks)
+    return fg_hist, bg_hist
+
+
 @jax.jit
 def batch_statistics(prob: jnp.ndarray, label: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """prob/label: (B, H, W) or (B, H, W, 1) floats in [0, 1].
@@ -116,13 +149,13 @@ def batch_statistics(prob: jnp.ndarray, label: jnp.ndarray) -> Dict[str, jnp.nda
     p_norm = jnp.where(pmax > pmin, (p - pmin) / span, p)
     q = jnp.clip((p_norm * 255.0).astype(jnp.int32), 0, 255)
 
-    # per-image fg/bg histograms via one-hot matmul (MXU-friendly bincount).
-    # NOTE: materializes (B, N, 256) fp32 — ~0.5 GB per 704² image; fine at
-    # the recipes' val batch_size 1, chunk if batching high-res eval.
-    onehot = jax.nn.one_hot(q.reshape(b, n), 256, dtype=jnp.float32)  # (B, N, 256)
+    # per-image fg/bg histograms via one-hot matmul (MXU-friendly bincount),
+    # chunked with lax.scan so the one-hot materialization is bounded at
+    # (B, _HIST_CHUNK, 256) fp32 regardless of resolution — batched 704²/1024²
+    # val stays well under the VMEM/HBM cliff the unchunked (B, N, 256)
+    # version hit (~0.5 GB per 704² image).
     gt_flat = gt.reshape(b, n).astype(jnp.float32)
-    fg_hist = jnp.einsum("bn,bnk->bk", gt_flat, onehot)
-    bg_hist = jnp.einsum("bn,bnk->bk", 1.0 - gt_flat, onehot)
+    fg_hist, bg_hist = _chunked_histograms(q.reshape(b, n), gt_flat)
 
     mae_sum = jnp.sum(jnp.abs(p_norm - gt_flat.reshape(p_norm.shape)), axis=(1, 2))
     sm = jax.vmap(_smeasure_single)(p_norm, gt)

@@ -206,8 +206,18 @@ class WeightedFmeasure(BaseSODMetric):
 @export
 @METRICS.register
 class meanIntersectionOverUnion:
-    """Binary/softmax mIoU (twig/metric/mIOU.py:8-71). Registered surface —
-    not used by either recipe's val_evaluator."""
+    """Multi-class mIoU with the reference's exact contract
+    (twig/metric/mIOU.py:32-58): pred is a (N,H,W,C) float score map —
+    softmax over classes then argmax; gt is a (N,H,W,1) float map in [0,1]
+    that is scaled by 255 and clamped to ``num_classes-1``; per-batch mIoU
+    (zero-diagonal classes count as 0 in a /num_classes mean) averaged over
+    ``process`` calls (mIOU.py:61-71).
+
+    Extension beyond the reference (which cannot consume this model family's
+    1-channel sigmoid output at all): a single-channel pred with
+    ``num_classes=2`` is thresholded at ``threshold`` into {0,1} classes.
+    Registered surface — not used by either recipe's val_evaluator.
+    """
 
     def __init__(self, num_classes: int = 2, threshold: float = 0.5, prefix: str = "COD"):
         self.num_classes = num_classes
@@ -219,15 +229,23 @@ class meanIntersectionOverUnion:
         self._ious: List[float] = []
 
     def process(self, preds, gts):
-        preds = np.asarray(preds)
-        gts = np.asarray(gts)
-        if preds.ndim == 4:
-            preds = preds[..., 0]
+        preds = np.asarray(preds, np.float32)
+        gts = np.asarray(gts, np.float32)
+        if preds.ndim == 3:
+            preds = preds[..., None]
+        if gts.ndim == 4:
             gts = gts[..., 0]
-        for p, g in zip(preds, gts):
-            pc = (p >= self.threshold).astype(np.int64)
-            gc = (g >= 0.5).astype(np.int64)
-            self._ious.append(S.miou(pc, gc, self.num_classes))
+        if preds.shape[-1] == 1:
+            # binary extension: threshold the sigmoid probability map
+            pc = (preds[..., 0] >= self.threshold).astype(np.int64)
+            gc = (gts >= 0.5).astype(np.int64)
+        else:
+            # reference path: softmax -> argmax over the class channel
+            # (softmax is monotone per-pixel so argmax of scores suffices)
+            pc = np.argmax(preds, axis=-1).astype(np.int64)
+            gc = np.minimum(gts * 255.0, self.num_classes - 1).astype(np.int64)
+        # one mIoU per process() call (= per batch), like mIOU.py:61-67
+        self._ious.append(S.miou(pc, gc, self.num_classes))
 
     def compute(self):
         return {f"{self.prefix}/mIoU": float(np.mean(self._ious)) if self._ious else float("nan")}

@@ -251,11 +251,18 @@ def _matlab_gauss2d(shape=(7, 7), sigma=5.0):
 
 
 def miou(pred_classes: np.ndarray, gt_classes: np.ndarray, num_classes: int) -> float:
+    """Reference mean-IoU semantics (twig/metric/mIOU.py:32-58): per-class
+    IoU from the confusion matrix; a class with zero diagonal count
+    contributes 0 but the mean still divides by ``num_classes`` (the
+    reference's ``if nii == 0: continue`` inside a ``/num_classes`` mean).
+
+    The reference builds the confusion matrix with a per-pixel Python loop
+    (mIOU.py:28-29); this is the same matrix via one bincount.
+    """
     mask = (gt_classes >= 0) & (gt_classes < num_classes)
     idx = num_classes * gt_classes[mask].astype(int) + pred_classes[mask].astype(int)
     cm = np.bincount(idx, minlength=num_classes**2).reshape(num_classes, num_classes)
-    inter = np.diag(cm)
+    inter = np.diag(cm).astype(np.float64)
     union = cm.sum(1) + cm.sum(0) - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        iou = inter / union
-    return float(np.nanmean(iou))
+    iou = np.where(inter > 0, inter / np.maximum(union, 1), 0.0)
+    return float(iou.sum() / num_classes)
