@@ -3,13 +3,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Config matches BASELINE.json's north-star: batched 512² RGB-D inference,
-bf16 compute. ``vs_baseline`` divides by the pinned single-core CPU
-measurement of the SAME flagship forward stored in ``bench_baseline.json``
-(the reference repo publishes no numbers — SURVEY.md §6 — and its
-torch/CUDA stack is not runnable here, so the CPU-vs-TPU ratio of this
-framework stands in for the driver's "5x PyTorch-CPU" north star; the
-measurement provenance is recorded in the baseline file).
+Config: batched 384² RGB-D inference, bf16 compute — 384² is the recipe
+resolution and the only input size the reference supports (its
+MessagePassing hard-codes img_size=384), so the comparison is
+apples-to-apples. ``vs_baseline`` divides by the pinned measurement of the
+REFERENCE PyTorch model itself on this host's CPU (bench_baseline.json,
+written by ``python -m dgtd_tpu.tools.pin_torch_baseline`` — the oracle
+import of twig/model/cod.py), which is exactly BASELINE.json's "≥5× the
+PyTorch CPU baseline" denominator.
 
 Measurement methodology: the remote-TPU tunnel memoizes repeated identical
 dispatches and its block_until_ready is unreliable, so the timed region is a
@@ -83,7 +84,11 @@ def bench_train(model, variables, args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=512)
+    # 384^2 = the recipe resolution AND the only size the reference torch
+    # model runs at (MessagePassing hard-codes img_size=384, cod.py:1186,1236)
+    # so vs_baseline is an apples-to-apples ratio against the pinned
+    # REFERENCE-PyTorch-CPU measurement in bench_baseline.json.
+    ap.add_argument("--size", type=int, default=384)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=3)

@@ -5,3 +5,4 @@ from .convnext import ConvNeXtFPNEncoder  # noqa: F401
 from .diffusion import MessagePassing, PromptDecoder, PromptEncoder  # noqa: F401
 from .dqnet import DQnet, DQnetNet  # noqa: F401
 from .window_fusion import NewWindowFusion, WindowFusion, window_partition, window_reverse  # noqa: F401
+from .mprnet import ORB, ORSNet, Decoder, DownSample, Encoder, SkipUpSample, UpSample  # noqa: F401

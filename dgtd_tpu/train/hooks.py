@@ -45,21 +45,23 @@ class LoggerHook(Hook):
 
     def __init__(self, interval: int = 20, ignore_last: bool = False):
         self.interval = interval
+        #: mmengine semantics: unless True, the final iteration of each epoch
+        #: is logged even when it doesn't land on ``interval``
+        self.ignore_last = ignore_last
         self._t0 = None
         self._last_step = 0
+        self._last_logged = -1
+        self._pending = None
 
     def before_train(self, runner):
         self._t0 = time.time()
         self._last_step = int(runner.state.step)
 
-    def after_train_iter(self, runner, metrics):
-        step = int(runner.state.step)
-        if step % self.interval != 0:
-            return
+    def _emit(self, runner, step, metrics):
         now = time.time()
         steps = step - self._last_step
         ips = steps * runner.batch_size / max(now - self._t0, 1e-9)
-        self._t0, self._last_step = now, step
+        self._t0, self._last_step, self._last_logged = now, step, step
         record = {
             "step": step,
             "epoch": runner.epoch,
@@ -67,6 +69,19 @@ class LoggerHook(Hook):
             **{k: round(float(v), 5) for k, v in metrics.items()},
         }
         runner.log(record)
+
+    def after_train_iter(self, runner, metrics):
+        step = int(runner.state.step)
+        if step % self.interval == 0:
+            self._emit(runner, step, metrics)
+        else:
+            self._pending = metrics
+
+    def after_train_epoch(self, runner):
+        step = int(runner.state.step)
+        if not self.ignore_last and step != self._last_logged and self._pending is not None:
+            self._emit(runner, step, self._pending)
+        self._pending = None
 
 
 @export
@@ -100,11 +115,24 @@ class CheckpointHook(Hook):
 
     def __init__(self, interval: int = 10, by_epoch: bool = True, max_keep: Optional[int] = None):
         self.interval = interval
+        #: mmengine ``max_keep_ckpts`` semantics: keep only the newest N
+        #: interval checkpoints, deleting the oldest as new ones land
         self.max_keep = max_keep
+        self._saved = []
 
     def after_train_epoch(self, runner):
         if runner.epoch % self.interval == 0:
-            runner.save_checkpoint(f"epoch_{runner.epoch}")
+            path = runner.save_checkpoint(f"epoch_{runner.epoch}")
+            self._saved.append(path)
+            while self.max_keep and len(self._saved) > self.max_keep:
+                import shutil
+
+                old = self._saved.pop(0)
+                if os.path.isdir(old):
+                    shutil.rmtree(old, ignore_errors=True)
+                elif os.path.exists(old):
+                    os.remove(old)
+                runner.log({"checkpoint_evicted": old})
 
 
 def load_npz_tree(path: str) -> Dict[str, np.ndarray]:

@@ -85,3 +85,69 @@ def test_folder_dataset_pipelines(tmp_path):
         b = ds.get(1, _np.random.default_rng(12345))
         _np.testing.assert_allclose(a["input"], b["input"])
         _np.testing.assert_allclose(a["depth"], b["depth"])
+"""Hook semantics: LoggerHook.ignore_last + CheckpointHook.max_keep."""
+
+import os
+
+from dgtd_tpu.train.hooks import CheckpointHook, LoggerHook
+
+
+class _FakeRunner:
+    def __init__(self, tmp):
+        self.batch_size = 2
+        self.epoch = 0
+        self.work_dir = tmp
+        self.records = []
+        self._step = 0
+
+    class _S:
+        def __init__(self, outer):
+            self._o = outer
+
+        def __int__(self):
+            return self._o._step
+
+    @property
+    def state(self):
+        class S:
+            step = self._step
+        return S
+
+    def log(self, rec):
+        self.records.append(rec)
+
+    def save_checkpoint(self, name):
+        path = os.path.join(self.work_dir, name + ".npz")
+        with open(path, "wb") as f:
+            f.write(b"x")
+        return path
+
+
+def test_logger_ignore_last(tmp_path):
+    r = _FakeRunner(str(tmp_path))
+    h = LoggerHook(interval=3, ignore_last=False)
+    h.before_train(r)
+    for step in range(1, 8):  # epoch of 7 iters: logs at 3, 6, then final 7
+        r._step = step
+        h.after_train_iter(r, {"loss": 1.0})
+    h.after_train_epoch(r)
+    assert [rec["step"] for rec in r.records] == [3, 6, 7]
+
+    r2 = _FakeRunner(str(tmp_path))
+    h2 = LoggerHook(interval=3, ignore_last=True)
+    h2.before_train(r2)
+    for step in range(1, 8):
+        r2._step = step
+        h2.after_train_iter(r2, {"loss": 1.0})
+    h2.after_train_epoch(r2)
+    assert [rec["step"] for rec in r2.records] == [3, 6]
+
+
+def test_checkpoint_max_keep(tmp_path):
+    r = _FakeRunner(str(tmp_path))
+    h = CheckpointHook(interval=1, max_keep=2)
+    for epoch in range(1, 5):
+        r.epoch = epoch
+        h.after_train_epoch(r)
+    kept = sorted(f for f in os.listdir(tmp_path) if f.startswith("epoch_"))
+    assert kept == ["epoch_3.npz", "epoch_4.npz"], kept
