@@ -24,12 +24,12 @@ bilinear sample as a 4-nonzero one-hot matrix over the flattened spatial axis
 contracted against the value plane on the MXU; the one-hot construction is
 pure VPU compares against an iota. Measured on v5e at detection scale
 (N2 M8 D32 P4 Lq5440, 4 levels): 9.8 ms vs 62.5 ms for the XLA gather
-reference — 6.4x. The
-backward pass is the exact VJP of the same math, supplied via custom_vjp
-through the jnp reference (kernels share the function definition, so grads
-match the reference's col2im semantics; a fused Pallas backward is future
-work — the 5 CUDA shm-reduction variants at ms_deform_im2col_cuda.cuh:301-921
-document the perf cliff a naive scatter would hit).
+reference — 6.4x. The backward is fully fused Pallas too: dValue as the
+one-hot-TRANSPOSE matmul (the CUDA col2im atomicAdd path,
+ms_deform_im2col_cuda.cuh:301-921, 5.7x over the XLA scatter) and
+dLocation/dAttentionWeight as three extra MXU matmuls per point against the
+same one-hot factors (see the dlocw kernel header below); grads match the
+jnp reference VJP exactly (tests/test_msda.py).
 """
 
 from __future__ import annotations
@@ -298,6 +298,132 @@ def ms_deform_attn_pallas_dvalue(
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward: dLocation / dAttentionWeight
+#
+# The reference CUDA backward fuses these with the value grad in col2im
+# (ms_deform_im2col_cuda.cuh:301-921 — its 5 shm-reduction variants exist
+# because the per-sample weight/location grads need cross-channel
+# reductions). Here each is three extra MXU matmuls per point against the
+# SAME one-hot factors the forward builds:
+#   s    = (ry·cx)          @ V   -> daw = Σ_d s ⊙ g
+#   ds/dx = (ry·∂cx)        @ V   -> dx  = aw · Σ_d ds/dx ⊙ g · W_l
+#   ds/dy = (∂ry·cx)        @ V   -> dy  = aw · Σ_d ds/dy ⊙ g · H_l
+# with ∂cx = 1[wi==x0+1] − 1[wi==x0] (the fractional weight's derivative);
+# out-of-range corners never match the iota, reproducing grid_sample's
+# zero-padding gradient exactly.
+# ---------------------------------------------------------------------------
+
+
+def _msda_dlocw_kernel(
+    v_ref, x_ref, y_ref, w_ref, g_ref, dx_ref, dy_ref, dw_ref, *, H, W, D, P
+):
+    """v_ref: (1, H*W, D); x/y/w_ref: (1, P, QB); g_ref: (1, QB, D);
+    dx/dy/dw_ref: (1, P, QB)."""
+    v = v_ref[0]  # (H*W, D)
+    g = g_ref[0].astype(jnp.float32)  # (QB, D)
+    qb = g_ref.shape[1]
+    hw_iota = lax.broadcasted_iota(jnp.int32, (qb, H * W), 1)
+    hi = hw_iota // W
+    wi = hw_iota % W
+    for p_idx in range(P):
+        x = x_ref[0, p_idx, :]
+        y = y_ref[0, p_idx, :]
+        aw = w_ref[0, p_idx, :]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x0i = x0.astype(jnp.int32)[:, None]
+        y0i = y0.astype(jnp.int32)[:, None]
+        is_y0 = hi == y0i
+        is_y1 = hi == y0i + 1
+        is_x0 = wi == x0i
+        is_x1 = wi == x0i + 1
+        ry = jnp.where(is_y0, 1.0 - fy, 0.0) + jnp.where(is_y1, fy, 0.0)
+        cx = jnp.where(is_x0, 1.0 - fx, 0.0) + jnp.where(is_x1, fx, 0.0)
+        ryd = jnp.where(is_y1, 1.0, 0.0) - jnp.where(is_y0, 1.0, 0.0)
+        cxd = jnp.where(is_x1, 1.0, 0.0) - jnp.where(is_x0, 1.0, 0.0)
+
+        def rowdot(mat):  # (QB, H*W) @ (H*W, D) then ⊙g reduce -> (QB,)
+            s = jnp.dot(mat, v, preferred_element_type=jnp.float32)
+            return jnp.sum(s * g, axis=1)
+
+        dw_ref[0, p_idx, :] = rowdot(ry * cx)
+        dx_ref[0, p_idx, :] = aw * rowdot(ry * cxd)
+        dy_ref[0, p_idx, :] = aw * rowdot(ryd * cx)
+
+
+def ms_deform_attn_pallas_dlocw(
+    g, value, spatial_shapes, sampling_locations, attention_weights,
+    q_block: int = 128, interpret: bool = False,
+):
+    """dL/d(sampling_locations), dL/d(attention_weights).
+
+    g: (N, Lq, M*D). Returns (dloc (N,Lq,M,L,P,2) f32, daw (N,Lq,M,L,P) f32).
+    """
+    n, s, m, d = value.shape
+    _, lq, _, L, p, _ = sampling_locations.shape
+    lq_pad = _round_up(lq, q_block)
+    levels = _split_levels(value, spatial_shapes)
+    g_planes = g.reshape(n, lq, m, d).transpose(0, 2, 1, 3).reshape(n * m, lq, d)
+    g_planes = jnp.pad(g_planes, ((0, 0), (0, lq_pad - lq), (0, 0))).astype(jnp.float32)
+
+    dx_levels, dy_levels, dw_levels = [], [], []
+    for lid, (hl, wl) in enumerate(spatial_shapes):
+        hl, wl = int(hl), int(wl)
+        v = (
+            levels[lid]
+            .reshape(n, hl * wl, m, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(n * m, hl * wl, d)
+            .astype(jnp.float32)
+        )
+        loc = sampling_locations[:, :, :, lid]
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        w = attention_weights[:, :, :, lid]
+
+        def to_npq(a):
+            a = a.transpose(0, 2, 3, 1).reshape(n * m, p, lq)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, lq_pad - lq)))
+
+        xq, yq, wq = to_npq(x), to_npq(y), to_npq(w)
+        kernel = functools.partial(_msda_dlocw_kernel, H=hl, W=wl, D=d, P=p)
+        pq_spec = pl.BlockSpec((1, p, q_block), lambda i, j: (i, 0, j))
+        dx, dy, dw = pl.pallas_call(
+            kernel,
+            grid=(n * m, lq_pad // q_block),
+            in_specs=[
+                pl.BlockSpec((1, hl * wl, d), lambda i, j: (i, 0, 0)),
+                pq_spec,
+                pq_spec,
+                pq_spec,
+                pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
+            ],
+            out_specs=[pq_spec, pq_spec, pq_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n * m, p, lq_pad), jnp.float32)
+                for _ in range(3)
+            ],
+            interpret=interpret,
+        )(v, xq, yq, wq, g_planes)
+
+        def from_npq(a):  # (N*M, P, Lq_pad) -> (N, Lq, M, P)
+            return a[:, :, :lq].reshape(n, m, p, lq).transpose(0, 3, 1, 2)
+
+        # chain through x = loc_x * W_l - 0.5 / y = loc_y * H_l - 0.5
+        dx_levels.append(from_npq(dx) * wl)
+        dy_levels.append(from_npq(dy) * hl)
+        dw_levels.append(from_npq(dw))
+
+    dloc = jnp.stack(
+        [jnp.stack(dx_levels, axis=3), jnp.stack(dy_levels, axis=3)], axis=-1
+    )  # (N, Lq, M, L, P, 2)
+    daw = jnp.stack(dw_levels, axis=3)  # (N, Lq, M, L, P)
+    return dloc, daw
+
+
+# ---------------------------------------------------------------------------
 # public op with custom VJP (backward via the reference math)
 # ---------------------------------------------------------------------------
 
@@ -337,11 +463,10 @@ def make_ms_deform_attn(
             dv = ms_deform_attn_pallas_dvalue(
                 g, value.shape, shapes, sl, aw, interpret=interpret
             ).astype(value.dtype)
-            _, vjp = jax.vjp(
-                lambda s, a: ms_deform_attn_reference(value, shapes, s, a), sl, aw
+            dsl, daw = ms_deform_attn_pallas_dlocw(
+                g, value, shapes, sl, aw, interpret=interpret
             )
-            dsl, daw = vjp(g)
-            return dv, dsl, daw
+            return dv, dsl.astype(sl.dtype), daw.astype(aw.dtype)
         _, vjp = jax.vjp(
             lambda v, s, a: ms_deform_attn_reference(v, shapes, s, a), value, sl, aw
         )

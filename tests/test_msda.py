@@ -45,11 +45,11 @@ def torch_oracle(value, shapes, sampling_locations, attention_weights):
     return out.transpose(1, 2).contiguous()
 
 
-def make_inputs(channels=D, seed=3):
+def make_inputs(channels=D, seed=3, lq=LQ):
     rng = np.random.RandomState(seed)
     value = rng.rand(N, S, M, channels).astype(np.float32) * 0.01
-    loc = rng.rand(N, LQ, M, len(SHAPES), P, 2).astype(np.float32)
-    aw = rng.rand(N, LQ, M, len(SHAPES), P).astype(np.float32) + 1e-5
+    loc = rng.rand(N, lq, M, len(SHAPES), P, 2).astype(np.float32)
+    aw = rng.rand(N, lq, M, len(SHAPES), P).astype(np.float32) + 1e-5
     aw = aw / aw.sum(axis=(-1, -2), keepdims=True)
     return value, loc, aw
 
@@ -87,9 +87,12 @@ def test_pallas_matches_reference(channels):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("channels", [2, 30])
-def test_gradients_match_torch(channels):
-    value, loc, aw = make_inputs(channels, seed=23)
+# channel widths follow the reference gradcheck matrix (twig/ops/test.py:108,
+# trimmed of the >1k giants for CPU runtime); lq=2 exercises heavy
+# query-block padding (q_block=128), lq=150 exercises multiple q blocks
+@pytest.mark.parametrize("channels,lq", [(2, 2), (30, 2), (32, 2), (64, 2), (71, 2), (16, 150)])
+def test_gradients_match_torch(channels, lq):
+    value, loc, aw = make_inputs(channels, seed=23 + channels, lq=lq)
 
     op = make_ms_deform_attn(SHAPES, use_pallas=True, interpret=True)
 
@@ -108,6 +111,29 @@ def test_gradients_match_torch(channels):
     np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_backward_matches_reference_vjp():
+    """The fused dloc/daw kernel against the jnp reference VJP directly
+    (independent of the torch oracle), at a 4-level detection-ish layout."""
+    shapes = ((8, 8), (4, 4), (2, 2), (1, 1))
+    s = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(5)
+    n, m, d, lq, p = 2, 2, 8, 37, 4
+    value = jnp.asarray(rng.rand(n, s, m, d), jnp.float32)
+    loc = jnp.asarray(rng.rand(n, lq, m, len(shapes), p, 2), jnp.float32)
+    aw = jnp.asarray(rng.rand(n, lq, m, len(shapes), p), jnp.float32)
+    g = jnp.asarray(rng.rand(n, lq, m * d), jnp.float32)
+
+    from dgtd_tpu.ops.msda import ms_deform_attn_pallas_dlocw
+
+    _, vjp = jax.vjp(
+        lambda sl, a: ms_deform_attn_reference(value, shapes, sl, a), loc, aw
+    )
+    dl_ref, da_ref = vjp(g)
+    dl, da = ms_deform_attn_pallas_dlocw(g, value, shapes, loc, aw, interpret=True)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), rtol=1e-4, atol=1e-6)
 
 
 def test_msdeformattn_module():
