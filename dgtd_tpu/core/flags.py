@@ -9,6 +9,11 @@ the framework's sanctioned experiment knobs.
 #: (ops/layernorm_pallas.py) on TPU.
 use_pallas_layernorm: bool = False
 
+#: diffusion stencil layout/kernel selection: None = auto (plane-layout
+#: Pallas on TPU for grids >= models.diffusion.PALLAS_MIN_GRID, fused XLA
+#: otherwise); True/False force it (tests force True with interpret mode).
+diffusion_plane_layout = None
+
 #: jnp NaN debugging (jax debug_nans passthrough — SURVEY.md §5 plan).
 debug_nans: bool = False
 

@@ -39,9 +39,23 @@ from ..utils.image import (
     resize_nearest,
 )
 from .convnext import ConvNeXtFPNEncoder
-from .layers import Conv
+from .layers import Conv, PlaneConv1x1
 
 Dtype = Any
+
+#: grids at or above this edge length route through the fused Pallas stencil
+#: kernel in plane layout; the recipes' 12x12 grid stays on fused XLA.
+PALLAS_MIN_GRID = 64
+
+
+def _use_plane_path(grid_h: int, grid_w: int) -> bool:
+    """Auto kernel/layout selection for the diffusion stencil, overridable
+    via core.flags.diffusion_plane_layout (tests force it on CPU interpret)."""
+    from ..core import flags
+
+    if flags.diffusion_plane_layout is not None:
+        return bool(flags.diffusion_plane_layout)
+    return min(grid_h, grid_w) >= PALLAS_MIN_GRID and jax.default_backend() == "tpu"
 
 
 def message_passing_step(x: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int) -> jnp.ndarray:
@@ -66,28 +80,47 @@ class MessagePassing(nn.Module):
     kernel: int = 7
     steps: int = 4
     out_size: int = 384
-    #: grids at or above this edge length route through the fused Pallas
-    #: stencil kernel (ops/diffusion_pallas.py); the recipe's 12x12 grid stays
-    #: on the fused-XLA path where patch materialization is trivial.
-    pallas_min_grid: int = 64
+    #: tests force the Pallas path in interpret mode on CPU
+    pallas_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, weight):
+    def __call__(self, x, weight, plane_layout: bool = False):
+        k2 = self.kernel * self.kernel
+        if plane_layout:
+            # serving path: x (B, C, H, W) planes, weight (B, C*k², H, W)
+            # straight from the PlaneConv1x1 regressor — the v2 kernel's
+            # layout with NO NHWC<->plane transposes (at a 512² grid the
+            # weight transpose alone would round-trip ~0.6 GB through HBM).
+            from ..ops.diffusion_pallas import diffusion_pallas_v2_planes
+
+            b, c, h, w = x.shape
+            wt = weight.reshape(b * c, k2, h, w).astype(jnp.float32)
+            wt = (wt / (jnp.sum(wt, axis=1, keepdims=True) + 1e-5)).astype(x.dtype)
+            xp = x.reshape(b * c, h, w)
+            xp = diffusion_pallas_v2_planes(
+                xp, wt, self.kernel, self.steps, self.pallas_interpret
+            )
+            x = PlaneConv1x1(3, init_scheme="pvt", dtype=self.dtype, name="Conv_0")(
+                xp.reshape(b, c, h, w), input_layout="NCHW"
+            )  # (B, 3, H, W)
+            x = x.transpose(0, 2, 3, 1)  # tiny 3-channel transpose
+            return resize_bilinear(x, (self.out_size, self.out_size))
+
         b, h, w, c = x.shape
         # weight arrives as (B, h, w, latent_dim * k*k), channel-major like the
         # reference's view(n, latent, k*k, h*w) (cod.py:1193)
-        wt = weight.reshape(b, h, w, c, self.kernel * self.kernel)
+        wt = weight.reshape(b, h, w, c, k2)
         wt = normalize_affinity(wt.astype(jnp.float32)).astype(x.dtype)
-        if min(h, w) >= self.pallas_min_grid and jax.default_backend() == "tpu":
-            # v2 plane-layout kernel: streams weights once per step with no
-            # k²-sized patch materialization (the XLA form allocates
-            # H*W*C*k² per step — 4.9 GB at 1024²). Measured 1.9x faster than
-            # the fused-XLA form at 256² on v5e (0.92 vs 1.74 ms/step,
-            # ~336 GB/s effective on the 308 MB/step affinity stream).
+        if _use_plane_path(h, w):
+            # v2 plane-layout kernel behind the NHWC wrapper (transposes at
+            # the boundary). Measured 1.9x faster than the fused-XLA form at
+            # 256² on v5e (0.92 vs 1.74 ms/step, ~336 GB/s effective on the
+            # 308 MB/step affinity stream). Callers that can emit planes
+            # directly should use ``plane_layout=True`` instead.
             from ..ops.diffusion_pallas import diffusion_pallas_v2
 
-            x = diffusion_pallas_v2(x, wt, self.kernel, self.steps)
+            x = diffusion_pallas_v2(x, wt, self.kernel, self.steps, self.pallas_interpret)
         else:
             for _ in range(self.steps):
                 x = message_passing_step(x, wt, self.kernel)
@@ -113,6 +146,8 @@ class PromptEncoder(nn.Module):
     kernel: int = 7
     steps: int = 4
     fft_at_grid: bool = False
+    #: tests force the Pallas diffusion path in interpret mode on CPU
+    pallas_interpret: bool = False
     convnext_dims: Tuple[int, ...] = (128, 256, 512, 1024)
     convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
     remat: bool = False
@@ -129,33 +164,52 @@ class PromptEncoder(nn.Module):
             texture = fft_high_pass(image, self.freq_rate)
             tex_grid = resize_nearest(texture, (g, g))
 
-        # per-pixel k*k affinity field regressed from texture (cod.py:1051-1060)
-        weights = Conv(
-            self.latent_dim * self.kernel * self.kernel,
-            1,
-            init_scheme="pvt",
-            dtype=self.dtype,
-            name="weight_regressor",
-        )(tex_grid)
-        weights = nn.sigmoid(weights)
-
         # depth -> latent cues (cod.py:1249,1297). The reference convs at full
         # res then downsamples; a 1x1 conv and bilinear resize commute exactly
         # (both linear, resize weights sum to 1), so we resize first and run
         # the conv on the tiny grid.
         depth_grid = resize_bilinear(depth, (g, g))
-        cues_grid = Conv(
-            self.latent_dim, 1, init_scheme="pvt", dtype=self.dtype, name="encoder1"
-        )(depth_grid)
 
-        diffused = MessagePassing(
+        plane = _use_plane_path(g, g)
+        mp = MessagePassing(
             self.latent_dim,
             self.kernel,
             self.steps,
             out_size=size,
+            pallas_interpret=self.pallas_interpret,
             dtype=self.dtype,
             name="message_passing",
-        )(cues_grid, weights)
+        )
+        if plane:
+            # large-grid serving: the affinity regressor and cue encoder emit
+            # channel planes straight from their matmul epilogues, so the
+            # whole diffusion stack runs transpose-free in the v2 kernel's
+            # layout (param trees identical to the NHWC branch).
+            weights = PlaneConv1x1(
+                self.latent_dim * self.kernel * self.kernel,
+                init_scheme="pvt",
+                dtype=self.dtype,
+                name="weight_regressor",
+            )(tex_grid)
+            weights = nn.sigmoid(weights)
+            cues_grid = PlaneConv1x1(
+                self.latent_dim, init_scheme="pvt", dtype=self.dtype, name="encoder1"
+            )(depth_grid)
+            diffused = mp(cues_grid, weights, plane_layout=True)
+        else:
+            # per-pixel k*k affinity field regressed from texture (cod.py:1051-1060)
+            weights = Conv(
+                self.latent_dim * self.kernel * self.kernel,
+                1,
+                init_scheme="pvt",
+                dtype=self.dtype,
+                name="weight_regressor",
+            )(tex_grid)
+            weights = nn.sigmoid(weights)
+            cues_grid = Conv(
+                self.latent_dim, 1, init_scheme="pvt", dtype=self.dtype, name="encoder1"
+            )(depth_grid)
+            diffused = mp(cues_grid, weights)
 
         # ConvNeXt-FPN embedding of diffused depth + image (cod.py:1302)
         embedding = ConvNeXtFPNEncoder(

@@ -117,6 +117,49 @@ class Conv(nn.Module):
         )(x)
 
 
+class _PlaneConv1x1Inner(nn.Module):
+    """1x1 conv emitting channel-planes (B, O, H, W) directly from the
+    matmul epilogue — parameter names/shapes identical to the nn.Conv inside
+    ``Conv`` so checkpoints are interchangeable between layouts."""
+
+    features: int
+    init_scheme: str = "torch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, input_layout: str = "NHWC"):
+        in_ch = x.shape[-1] if input_layout == "NHWC" else x.shape[1]
+        if self.init_scheme == "pvt":
+            kinit, binit = pvt_conv_kernel_init, zeros_init
+        else:
+            kinit, binit = torch_default_kernel_init, make_torch_bias_init(in_ch)
+        kernel = self.param("kernel", kinit, (1, 1, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", binit, (self.features,), jnp.float32)
+        k = kernel[0, 0].astype(self.dtype)
+        xd = x.astype(self.dtype)
+        if input_layout == "NHWC":
+            y = jnp.einsum("bhwi,io->bohw", xd, k)
+        else:  # NCHW planes in, planes out
+            y = jnp.einsum("bihw,io->bohw", xd, k)
+        return y + bias.astype(self.dtype)[None, :, None, None]
+
+
+class PlaneConv1x1(nn.Module):
+    """Drop-in 1x1 ``Conv`` variant with NCHW (plane) output for the
+    large-grid diffusion serving path; param tree matches ``Conv``
+    (``<name>/Conv_0/kernel|bias``)."""
+
+    features: int
+    init_scheme: str = "torch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, input_layout: str = "NHWC"):
+        return _PlaneConv1x1Inner(
+            self.features, self.init_scheme, self.dtype, name="Conv_0"
+        )(x, input_layout)
+
+
 class Dense(nn.Module):
     features: int
     use_bias: bool = True

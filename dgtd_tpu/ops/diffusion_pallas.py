@@ -310,6 +310,42 @@ def _diffusion_v2_bwd(kernel, steps, interpret, res, g):
     return dx, dnw
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def diffusion_pallas_v2_planes(
+    x_planes: jnp.ndarray, w_planes: jnp.ndarray, kernel: int, steps: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Plane-layout entry: x (P, H, W), w (P, k², H, W) normalized — NO
+    NHWC<->plane transposes. At a 512² serving grid the NHWC wrapper's weight
+    transpose alone moves ~0.6 GB (bf16, C=24, k=7) through HBM twice; the
+    serving path emits planes straight from the affinity regressor
+    (models/diffusion.py) and stays in this layout end-to-end."""
+    for _ in range(steps):
+        x_planes = diffusion_step_pallas_v2(x_planes, w_planes, kernel, interpret=interpret)
+    return x_planes
+
+
+def _diffusion_v2p_fwd(x_planes, w_planes, kernel, steps, interpret):
+    step_inputs = []
+    xp = x_planes
+    for _ in range(steps):
+        step_inputs.append(xp)
+        xp = diffusion_step_pallas_v2(xp, w_planes, kernel, interpret=interpret)
+    return xp, (tuple(step_inputs), w_planes)
+
+
+def _diffusion_v2p_bwd(kernel, steps, interpret, res, gp):
+    step_inputs, wp = res
+    dw = None
+    for s in range(steps - 1, -1, -1):
+        gx, gw = diffusion_step_bwd_pallas(gp, step_inputs[s], wp, kernel, interpret)
+        dw = gw if dw is None else dw + gw
+        gp = gx
+    return gp, dw
+
+
+diffusion_pallas_v2_planes.defvjp(_diffusion_v2p_fwd, _diffusion_v2p_bwd)
+
+
 def _reference_step(x: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int) -> jnp.ndarray:
     """jnp stencil step (same math as models.diffusion.message_passing_step)."""
     from ..utils.image import extract_patches

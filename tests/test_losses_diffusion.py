@@ -115,3 +115,50 @@ def test_message_passing_k3():
     tx = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
     ref = torch_message_passing(tx, tw, k, steps).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_plane_layout_path_matches_nhwc_path():
+    """The serving plane-layout diffusion stack (PlaneConv1x1 regressors +
+    diffusion_pallas_v2_planes, interpret mode) computes the same function as
+    the NHWC path with the SAME param tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgtd_tpu.core import flags
+    from dgtd_tpu.models.diffusion import PromptEncoder
+
+    kwargs = dict(
+        latent_dim=6,
+        grid=16,
+        kernel=3,
+        steps=2,
+        convnext_dims=(8, 16, 32, 64),
+        convnext_depths=(1, 1, 1, 1),
+        pallas_interpret=True,
+        dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    depth = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+
+    flags.set_flag("diffusion_plane_layout", False)
+    try:
+        enc = PromptEncoder(**kwargs)
+        variables = enc.init(jax.random.PRNGKey(0), image, depth)
+        tex_a, emb_a = enc.apply(variables, image, depth)
+        flags.set_flag("diffusion_plane_layout", True)
+        # same module, same variables — only the layout/kernel path differs
+        tex_b, emb_b = enc.apply(variables, image, depth)
+        # and the plane path can also init from scratch with an identical tree
+        v2 = PromptEncoder(**kwargs).init(jax.random.PRNGKey(0), image, depth)
+        assert jax.tree.structure(v2) == jax.tree.structure(variables)
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(v2),
+            jax.tree_util.tree_leaves_with_path(variables),
+        ):
+            assert p1 == p2 and a.shape == b.shape
+    finally:
+        flags.set_flag("diffusion_plane_layout", None)
+    np.testing.assert_allclose(np.asarray(tex_b), np.asarray(tex_a), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb_b), np.asarray(emb_a), rtol=1e-4, atol=1e-5)
