@@ -41,11 +41,17 @@ from jax import lax
 
 
 def bench_train(model, variables, args):
-    """Full train-step throughput (fwd+bwd+AdamW), loss readback each step."""
+    """Full train-step throughput (fwd+bwd+AdamW), loss readback each step.
+
+    ``--scan`` runs the steps inside one jitted ``lax.scan`` (device-bound
+    throughput — what the real training loop sees, since it only syncs at
+    logger intervals); without it each step pays a tunnel round-trip.
+    ``--flat-opt`` applies optax.flatten to collapse the per-leaf optimizer
+    update ops."""
     from dgtd_tpu.train.optim import build_optimizer
     from dgtd_tpu.train.state import TrainState, make_train_step
 
-    tx = build_optimizer(variables["params"], steps_per_epoch=100)
+    tx = build_optimizer(variables["params"], steps_per_epoch=100, flatten=args.flat_opt)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -60,13 +66,34 @@ def bench_train(model, variables, args):
         "label": jnp.asarray(rng.rand(args.batch, args.size, args.size, 1) > 0.5, jnp.float32),
     }
     key = jax.random.PRNGKey(1)
-    state, aux = train_step(state, batch, key)
-    float(aux["loss"])  # force
-    t0 = time.time()
-    for i in range(args.iters):
-        state, aux = train_step(state, {**batch, "input": batch["input"] + i * 1e-6}, key)
-        loss = float(aux["loss"])
-    sec = (time.time() - t0) / args.iters
+    if args.scan:
+        from jax import lax
+
+        def multi_step(state, _):
+            def body(st, i):
+                st, aux = train_step(st, {**batch, "input": batch["input"] + i * 1e-6}, key)
+                return st, aux["loss"]
+
+            return lax.scan(body, state, jnp.arange(args.iters, dtype=jnp.float32))
+
+        multi_step = jax.jit(multi_step, donate_argnums=(0,))
+        state, losses = multi_step(state, None)
+        loss = float(losses[-1])  # warmup + force
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            state, losses = multi_step(state, None)
+            loss = float(losses[-1])
+            times.append(time.time() - t0)
+        sec = min(times) / args.iters
+    else:
+        state, aux = train_step(state, batch, key)
+        float(aux["loss"])  # force
+        t0 = time.time()
+        for i in range(args.iters):
+            state, aux = train_step(state, {**batch, "input": batch["input"] + i * 1e-6}, key)
+            loss = float(aux["loss"])
+        sec = (time.time() - t0) / args.iters
     print(
         json.dumps(
             {
@@ -96,10 +123,21 @@ def main():
                     help="measure on CPU and write bench_baseline.json")
     ap.add_argument("--mode", choices=["infer", "train"], default="infer")
     ap.add_argument("--remat", action="store_true", help="per-block rematerialization")
+    ap.add_argument("--scan", action="store_true",
+                    help="train mode: run steps inside one jitted lax.scan (device-bound)")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="train mode: optax.flatten the optimizer update")
+    ap.add_argument("--pallas-ln", action="store_true",
+                    help="route LayerNorm through the fused Pallas kernel")
     args = ap.parse_args()
 
     if args.cpu_baseline_mode:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.pallas_ln:
+        from dgtd_tpu.core import flags
+
+        flags.set_flag("use_pallas_layernorm", True)
 
     from dgtd_tpu.models import cod
 

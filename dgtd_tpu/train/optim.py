@@ -104,7 +104,13 @@ def build_optimizer(
     custom_keys: Optional[Dict[str, float]] = None,
     betas: Tuple[float, float] = (0.9, 0.999),
     grad_clip: Optional[float] = None,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
+    """``flatten``: run the AdamW core over one concatenated parameter vector
+    (optax.flatten) — collapses the ~880 per-leaf update ops into a handful
+    of big fused ones (the train-step profile shows a long tail of tiny
+    optimizer fusions). The per-path lr multipliers stay OUTSIDE the
+    flattened core so they keep operating on the named tree."""
     schedule = cosine_epoch_schedule(base_lr, max_epochs, steps_per_epoch)
     mults = build_lr_mults(params, custom_keys)
     chain = []
@@ -113,8 +119,10 @@ def build_optimizer(
     chain.append(
         optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
     )
-    chain.append(scale_by_lr_mults(mults))
-    return optax.chain(*chain)
+    core = optax.chain(*chain)
+    if flatten:
+        core = optax.flatten(core)
+    return optax.chain(core, scale_by_lr_mults(mults))
 
 
 def build_from_config(

@@ -7,6 +7,7 @@
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -99,6 +100,7 @@ def _pvt_b0_torch_keys():
     return keys
 
 
+@pytest.mark.slow
 def test_pvt_conversion_covers_backbone():
     rng = np.random.RandomState(0)
     state = {k: rng.randn(*shape).astype(np.float32) for k, shape in _pvt_b0_torch_keys().items()}
@@ -149,6 +151,7 @@ def _convnext_torch_keys(dims=(16, 32), depths=(1, 1)):
     return keys
 
 
+@pytest.mark.slow
 def test_convnext_conversion_covers_tower():
     rng = np.random.RandomState(1)
     state = {k: rng.randn(*s).astype(np.float32) for k, s in _convnext_torch_keys().items()}

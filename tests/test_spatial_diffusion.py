@@ -12,6 +12,7 @@ from dgtd_tpu.parallel.spatial import spatial_diffusion
 
 
 @pytest.mark.parametrize("space,k,steps", [(4, 7, 3), (2, 3, 6), (8, 7, 2)])
+@pytest.mark.slow
 def test_spatial_diffusion_matches_reference(space, k, steps):
     rng = np.random.RandomState(0)
     b, h, w, c = 2, 32, 16, 6

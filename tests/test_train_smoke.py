@@ -55,6 +55,7 @@ def runner(tmp_path_factory):
     return r
 
 
+@pytest.mark.slow
 def test_train_epoch_decreases_loss(runner):
     losses = []
 
@@ -106,6 +107,7 @@ def test_checkpoint_roundtrip(runner, tmp_path):
     np.testing.assert_allclose(np.asarray(before), np.asarray(after))
 
 
+@pytest.mark.slow
 def test_dqnet_variant_forward():
     from dgtd_tpu.models import DQnet
 
@@ -120,6 +122,7 @@ def test_dqnet_variant_forward():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(tmp_path_factory):
     """Same seed => identical first-step loss (RNG plumbing is pure)."""
     from dgtd_tpu.data.datasets import SyntheticSODDataset
