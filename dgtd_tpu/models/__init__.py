@@ -6,3 +6,5 @@ from .diffusion import MessagePassing, PromptDecoder, PromptEncoder  # noqa: F40
 from .dqnet import DQnet, DQnetNet  # noqa: F401
 from .window_fusion import NewWindowFusion, WindowFusion, window_partition, window_reverse  # noqa: F401
 from .mprnet import ORB, ORSNet, Decoder, DownSample, Encoder, SkipUpSample, UpSample  # noqa: F401
+from .dinov2 import DINOV2_ARCHS, DinoViT  # noqa: F401
+from .dpt import DinoDPTDepther, DPTHead  # noqa: F401

@@ -16,6 +16,11 @@ Usage:
     python -m dgtd_tpu.tools.convert_ckpt pvt      pvt_v2_b2.pth out.npz
     python -m dgtd_tpu.tools.convert_ckpt convnext convnext_base_22k_224.pth out.npz
     python -m dgtd_tpu.tools.convert_ckpt full     epoch_50.pth out.npz
+    python -m dgtd_tpu.tools.convert_ckpt dinov2   dinov2_vitl14_pretrain.pth out.npz
+    python -m dgtd_tpu.tools.convert_ckpt dpt_head dinov2_vitl14_nyu_dpt_head.pth out.npz
+
+The last two feed the offline depther (models/dinov2.py + models/dpt.py,
+reference dino.py:104-138); see tools/depth_gen.py --estimator dinov2.
 """
 
 from __future__ import annotations
@@ -313,6 +318,127 @@ def map_full_key(key: str, collection: str = "params") -> Optional[Tuple[str, Ca
 
 
 # ---------------------------------------------------------------------------
+# DINOv2 backbone + DPT depth head (the offline-depther checkpoints,
+# reference dino.py:104-138: dinov2_vit*14_pretrain.pth and
+# dinov2_vit*14_nyu_dpt_head.pth)
+# ---------------------------------------------------------------------------
+
+
+def _convT_w(a: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (I, O, kh, kw) -> (kh, kw, I, O) for the
+    non-overlapping einsum formulation in models/dpt.py."""
+    return np.transpose(a, (2, 3, 0, 1))
+
+
+def map_dinov2_key(key: str) -> Optional[Tuple[str, Callable]]:
+    """Official DINOv2 backbone state-dict key -> DinoViT param path."""
+    if key in ("cls_token", "pos_embed"):
+        return key, _ident
+    m = re.match(r"patch_embed\.proj\.(weight|bias)$", key)
+    if m:
+        wb = m.group(1)
+        return (
+            f"patch_embed/Conv_0/{'kernel' if wb == 'weight' else 'bias'}",
+            _conv_w if wb == "weight" else _ident,
+        )
+    m = re.match(r"norm\.(weight|bias)$", key)
+    if m:
+        return f"norm/LayerNorm_0/{'scale' if m.group(1) == 'weight' else 'bias'}", _ident
+    m = re.match(r"blocks\.(\d+)\.(.+)$", key)
+    if m:
+        i, rest = m.groups()
+        table = {
+            "norm1.weight": ("norm1/LayerNorm_0/scale", _ident),
+            "norm1.bias": ("norm1/LayerNorm_0/bias", _ident),
+            "norm2.weight": ("norm2/LayerNorm_0/scale", _ident),
+            "norm2.bias": ("norm2/LayerNorm_0/bias", _ident),
+            "attn.qkv.weight": ("attn/qkv/Dense_0/kernel", _lin_w),
+            "attn.qkv.bias": ("attn/qkv/Dense_0/bias", _ident),
+            "attn.proj.weight": ("attn/proj/Dense_0/kernel", _lin_w),
+            "attn.proj.bias": ("attn/proj/Dense_0/bias", _ident),
+            "ls1.gamma": ("ls1/gamma", _ident),
+            "ls2.gamma": ("ls2/gamma", _ident),
+            "mlp.fc1.weight": ("mlp_fc1/Dense_0/kernel", _lin_w),
+            "mlp.fc1.bias": ("mlp_fc1/Dense_0/bias", _ident),
+            "mlp.fc2.weight": ("mlp_fc2/Dense_0/kernel", _lin_w),
+            "mlp.fc2.bias": ("mlp_fc2/Dense_0/bias", _ident),
+        }
+        inner = table.get(rest)
+        if inner is None:
+            return None
+        return f"blocks_{i}/{inner[0]}", inner[1]
+    return None  # mask_token, register_tokens (inference-unused)
+
+
+def map_dpt_head_key(key: str) -> Optional[Tuple[str, Callable]]:
+    """Official DPT depth-head key (mmseg schema) -> DPTHead param path.
+
+    Accepts keys with or without the release's ``decode_head.`` prefix."""
+    if key.startswith("decode_head."):
+        key = key[len("decode_head.") :]
+    if key.startswith("backbone."):
+        return None  # head checkpoints never carry backbone weights; guard anyway
+    m = re.match(r"reassemble_blocks\.readout_projects\.(\d)\.0\.(weight|bias)$", key)
+    if m:
+        i, wb = m.groups()
+        return (
+            f"reassemble_blocks/readout_projects_{i}/Dense_0/"
+            + ("kernel" if wb == "weight" else "bias"),
+            _lin_w if wb == "weight" else _ident,
+        )
+    m = re.match(r"reassemble_blocks\.projects\.(\d)\.conv\.(weight|bias)$", key)
+    if m:
+        i, wb = m.groups()
+        return (
+            f"reassemble_blocks/projects_{i}/Conv_0/" + ("kernel" if wb == "weight" else "bias"),
+            _conv_w if wb == "weight" else _ident,
+        )
+    m = re.match(r"reassemble_blocks\.resize_layers\.(\d)\.(weight|bias)$", key)
+    if m:
+        i, wb = m.groups()
+        if i in ("0", "1"):  # ConvTranspose2d x4 / x2
+            return (
+                f"reassemble_blocks/resize_layers_{i}/" + ("kernel" if wb == "weight" else "bias"),
+                _convT_w if wb == "weight" else _ident,
+            )
+        if i == "3":  # stride-2 conv
+            return (
+                f"reassemble_blocks/resize_layers_3/Conv_0/"
+                + ("kernel" if wb == "weight" else "bias"),
+                _conv_w if wb == "weight" else _ident,
+            )
+        return None  # index 2 is Identity
+    m = re.match(r"convs\.(\d)\.conv\.weight$", key)
+    if m:
+        return f"convs_{m.group(1)}/Conv_0/kernel", _conv_w
+    m = re.match(
+        r"fusion_blocks\.(\d)\.res_conv_unit(\d)\.conv(\d)\.conv\.(weight|bias)$", key
+    )
+    if m:
+        i, u, c, wb = m.groups()
+        return (
+            f"fusion_blocks_{i}/res_conv_unit{u}/conv{c}/Conv_0/"
+            + ("kernel" if wb == "weight" else "bias"),
+            _conv_w if wb == "weight" else _ident,
+        )
+    m = re.match(r"fusion_blocks\.(\d)\.project\.conv\.(weight|bias)$", key)
+    if m:
+        i, wb = m.groups()
+        return (
+            f"fusion_blocks_{i}/project/Conv_0/" + ("kernel" if wb == "weight" else "bias"),
+            _conv_w if wb == "weight" else _ident,
+        )
+    m = re.match(r"(project|conv_depth)\.(?:conv\.)?(weight|bias)$", key)
+    if m:
+        name, wb = m.groups()
+        return (
+            f"{name}/Conv_0/" + ("kernel" if wb == "weight" else "bias"),
+            _conv_w if wb == "weight" else _ident,
+        )
+    return None  # loss buffers etc.
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -338,6 +464,10 @@ def convert_state_dict(
             hit = map_pvt_key(key)
         elif kind == "convnext":
             hit = map_convnext_key(key)
+        elif kind == "dinov2":
+            hit = map_dinov2_key(key)
+        elif kind == "dpt_head":
+            hit = map_dpt_head_key(key)
         elif kind == "full":
             hit = map_full_key(key, "params")
             if hit is None:
@@ -358,7 +488,7 @@ def convert_state_dict(
 
 def main(argv=None):
     argv = argv or sys.argv[1:]
-    if len(argv) != 3 or argv[0] not in ("pvt", "convnext", "full"):
+    if len(argv) != 3 or argv[0] not in ("pvt", "convnext", "full", "dinov2", "dpt_head"):
         print(__doc__)
         sys.exit(1)
     kind, src, dst = argv
