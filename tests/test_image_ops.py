@@ -104,3 +104,70 @@ def test_surface_normals_matches_torch_gradient():
     norm = torch.sqrt(nx**2 + ny**2 + nz**2)
     ref = torch.cat([nx / norm, ny / norm, nz / norm], dim=1).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# SAM-style debug helpers (utils/vis_debug.py vs reference cod.py:48-116)
+# ---------------------------------------------------------------------------
+
+
+def test_activation_filter_matches_torch_formula():
+    from dgtd_tpu.utils.vis_debug import activation_filter
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 3, 8, 9).astype(np.float32)
+    t = torch.from_numpy(x)
+    thresh, _ = torch.max(t.view(2, 3, 72), dim=2)
+    ref = (0.25 * thresh).view(2, 3, 1, 1).numpy()
+    np.testing.assert_allclose(activation_filter(x, 0.25), ref)
+
+
+def _cv2_find_bbox(feat_map: np.ndarray, binary_thresh: float) -> np.ndarray:
+    """The exact reference pipeline (cod.py:59-69), cv2 as oracle."""
+    import cv2
+
+    fm = feat_map.copy()
+    fm[fm < binary_thresh] = 0
+    fm = (fm * 255).astype("uint8")
+    contours, _ = cv2.findContours(fm, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)[-2:]
+    areas = [cv2.contourArea(c) for c in contours]
+    x, y, w, h = cv2.boundingRect(contours[areas.index(max(areas))])
+    return np.array([x, y, x + w, y + h])
+
+
+def test_find_bbox_matches_cv2_reference():
+    from dgtd_tpu.utils.vis_debug import find_bbox
+
+    cv2 = pytest.importorskip("cv2")  # oracle only; framework needs no cv2
+    rng = np.random.RandomState(1)
+    for trial in range(8):
+        fm = np.zeros((32, 40), np.float32)
+        # two solid random blobs of different sizes
+        for size in (rng.randint(3, 8), rng.randint(8, 14)):
+            y0 = rng.randint(0, 32 - size)
+            x0 = rng.randint(0, 40 - size)
+            fm[y0 : y0 + size, x0 : x0 + size] = rng.uniform(0.6, 1.0)
+        ref = _cv2_find_bbox(fm, 0.5)
+        np.testing.assert_array_equal(find_bbox(fm, 0.5), ref)
+
+
+def test_find_bbox_raises_on_empty():
+    from dgtd_tpu.utils.vis_debug import find_bbox
+
+    with pytest.raises(ValueError):
+        find_bbox(np.zeros((8, 8), np.float32), 0.5)
+
+
+def test_show_helpers_draw():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from dgtd_tpu.utils.vis_debug import show_box, show_mask
+
+    fig, ax = plt.subplots()
+    show_mask(np.ones((4, 4), np.float32), ax)
+    show_box(np.array([0, 0, 2, 2]), ax)
+    assert len(ax.patches) == 1 and len(ax.images) == 1
+    plt.close(fig)
