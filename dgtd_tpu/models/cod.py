@@ -49,6 +49,7 @@ class CODNet(nn.Module):
     remat: bool = False
     refine_iters: int = 4
     use_prompts: bool = True
+    inject_prompts: bool = True  # see HitNet.inject_prompts (baseline parity)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -67,6 +68,7 @@ class CODNet(nn.Module):
             remat=self.remat,
             refine_iters=self.refine_iters,
             use_prompts=self.use_prompts,
+            inject_prompts=self.inject_prompts,
             dtype=self.dtype,
             name="hitnet",
         )(image, depth, train)
@@ -157,9 +159,21 @@ class cod(_SegModel):
 @export
 @MODELS.register
 class baseline(_SegModel):
-    """cod minus the SSIM term; grid-FFT diffusion variant (baseline.py)."""
+    """cod minus the SSIM term — and minus the prompts: the reference
+    baseline CONSTRUCTS its diffusion modules (grid-FFT texture, k=3/6-step
+    MessagePassing, freq_nums=0.5 — baseline.py:1150,1224,1253) but the whole
+    injection path is commented out of its forward (baseline.py:1436-1473),
+    so the live network is a pure HitNet. The modules are kept in the param
+    tree for checkpoint-key parity; their outputs are discarded
+    (``inject_prompts=False``) and DCE'd. Composition-parity proof:
+    tests/test_torch_oracle.py::test_baseline_forward_matches_torch_oracle_384
+    (which caught exactly this delta)."""
 
     use_ssim = False
     net_kwargs = dict(
-        freq_rate=0.5, diffusion_kernel=3, diffusion_steps=6, fft_at_grid=True
+        freq_rate=0.5,
+        diffusion_kernel=3,
+        diffusion_steps=6,
+        fft_at_grid=True,
+        inject_prompts=False,
     )

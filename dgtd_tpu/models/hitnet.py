@@ -60,6 +60,14 @@ class HitNet(nn.Module):
     remat: bool = False
     refine_iters: int = 4
     use_prompts: bool = True
+    #: construct the diffusion modules but do NOT inject their prompts —
+    #: reference ``baseline`` parity: its PVT constructs prompt_encoder/
+    #: prompt_decoder (their keys are in every baseline checkpoint, trained
+    #: under find_unused_parameters=True) but the entire injection path is
+    #: commented out of forward_features (baseline.py:1436-1473, which
+    #: returns ``None, outs``). Discarded outputs are DCE'd by XLA under jit,
+    #: so the dead modules cost nothing at runtime.
+    inject_prompts: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -88,6 +96,8 @@ class HitNet(nn.Module):
                 )(embedding)
                 for s in range(4)
             ]
+            if not self.inject_prompts:
+                texture, prompts = None, None  # params exist; compute is DCE'd
         else:
             texture, prompts = None, None
 

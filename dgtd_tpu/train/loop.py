@@ -307,7 +307,10 @@ class Runner:
         if variables is not None:
             try:
                 _, extras = self.model.predict(variables, batch["input"], batch["depth"])
-                texture_np = np.asarray(jax.device_get(extras.get("texture")))
+                tex = extras.get("texture")
+                # texture is None for prompt-less variants (reference baseline
+                # saves only input/label/output, baseline.py:180-185)
+                texture_np = None if tex is None else np.asarray(jax.device_get(tex))
             except Exception:
                 texture_np = None
         raws = batch.get("raw")

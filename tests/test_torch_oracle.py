@@ -164,3 +164,67 @@ def test_full_forward_matches_torch_oracle_384(ref_model, converted):
     for i in range(4):
         check(stages_t[i], stage_preds[i], f"stage{i}", 1e-3)
     check(pred2_t, pred2, "pred2", 1e-3)
+
+
+@pytest.mark.slow
+def test_baseline_forward_matches_torch_oracle_384():
+    """Composition parity for the SECOND model family: the reference
+    ``baseline`` (twig/model/baseline.py — grid-FFT texture, k=3/6-step
+    MessagePassing, freq_nums=0.5) random-init -> convert -> graft -> our
+    ``baseline`` tensor forward. Pins the diffusion-variant plumbing the cod
+    oracle can't see (fft_at_grid, kernel/step overrides)."""
+    from dgtd_tpu.models import baseline
+    from dgtd_tpu.tools.convert_ckpt import convert_state_dict
+    from dgtd_tpu.tools.ref_oracle import load_reference_module
+    from dgtd_tpu.train.hooks import graft_flat_params
+
+    ref = load_reference_module("twig/model/baseline.py")
+    torch.manual_seed(0)
+    ref_model = ref.baseline().eval()
+    state = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    flat, skipped = convert_state_dict(state, "full")
+    unexplained = [
+        k
+        for k in skipped
+        if not k.startswith(_DEAD_PREFIXES) and not k.endswith(_DEAD_SUFFIXES)
+    ]
+    assert unexplained == [], unexplained
+
+    model = baseline(dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), (1, 384, 384, 3))
+    params, _, missed_p = graft_flat_params(variables["params"], flat)
+    assert missed_p == []
+    bstats, _, missed_s = graft_flat_params(
+        variables["batch_stats"], flat, prefix="batch_stats/"
+    )
+    assert missed_s == []
+    variables = {"params": params, "batch_stats": bstats}
+
+    rng = np.random.RandomState(2)
+    image = rng.randn(1, 384, 384, 3).astype(np.float32)
+    depth = rng.rand(1, 384, 384, 1).astype(np.float32)
+
+    with torch.no_grad():
+        emb_t, stages_t, pred2_t = ref_model.hitnet(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)),
+            torch.from_numpy(depth.transpose(0, 3, 1, 2)),
+        )
+
+    texture, stage_preds, pred2 = jax.jit(model.tensor)(
+        variables, jnp.asarray(image), jnp.asarray(depth)
+    )
+
+    def check(t_ncwh, ours, name, atol):
+        a = t_ncwh.numpy().transpose(0, 2, 3, 1)
+        b = np.asarray(ours)
+        scale = max(1.0, float(np.abs(a).max()))
+        err = float(np.abs(a - b).max())
+        assert err <= atol * scale, (name, err, scale)
+
+    # the reference baseline never calls its prompt encoder: its
+    # forward_features returns (None, outs) (baseline.py:1436-1486) — ours
+    # mirrors that with inject_prompts=False
+    assert emb_t is None and texture is None
+    for i in range(4):
+        check(stages_t[i], stage_preds[i], f"stage{i}", 1e-3)
+    check(pred2_t, pred2, "pred2", 1e-3)
