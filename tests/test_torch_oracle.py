@@ -169,10 +169,11 @@ def test_full_forward_matches_torch_oracle_384(ref_model, converted):
 @pytest.mark.slow
 def test_baseline_forward_matches_torch_oracle_384():
     """Composition parity for the SECOND model family: the reference
-    ``baseline`` (twig/model/baseline.py — grid-FFT texture, k=3/6-step
-    MessagePassing, freq_nums=0.5) random-init -> convert -> graft -> our
-    ``baseline`` tensor forward. Pins the diffusion-variant plumbing the cod
-    oracle can't see (fft_at_grid, kernel/step overrides)."""
+    ``baseline`` (twig/model/baseline.py) random-init -> convert -> graft ->
+    our ``baseline`` tensor forward. Pins the variant's real semantics: a
+    pure-HitNet forward whose constructed diffusion modules are never called
+    (prompt injection commented out at baseline.py:1436-1473) — this test is
+    what caught the round-1 build injecting prompts here."""
     from dgtd_tpu.models import baseline
     from dgtd_tpu.tools.convert_ckpt import convert_state_dict
     from dgtd_tpu.tools.ref_oracle import load_reference_module
@@ -228,3 +229,21 @@ def test_baseline_forward_matches_torch_oracle_384():
     for i in range(4):
         check(stages_t[i], stage_preds[i], f"stage{i}", 1e-3)
     check(pred2_t, pred2, "pred2", 1e-3)
+
+
+def test_reference_dqnet_forward_is_stale():
+    """Pin the PARITY.md claim that DQnet's divergence is FORCED: the
+    reference Depth_prompt.forward references an undefined ``prompt``
+    (dqnet.py:1062 — its assignment is commented out at :1061), and that
+    module IS in the forward path (called from forward_features at
+    dqnet.py:1198). The reference model cannot run; ours restores the
+    evident intent (models/dqnet.py docstring)."""
+    from dgtd_tpu.tools.ref_oracle import load_reference_module
+
+    ref = load_reference_module("twig/model/dqnet.py")
+    torch.manual_seed(0)
+    m = ref.DQnet().eval()
+    x = torch.zeros(1, 3, 384, 384)
+    d = torch.zeros(1, 1, 384, 384)
+    with pytest.raises(NameError, match="prompt"), torch.no_grad():
+        m.hitnet(x, d)
