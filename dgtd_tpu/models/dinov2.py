@@ -74,6 +74,12 @@ def interpolate_pos_embed(
 
     ``pos_embed``: (1, 1+M*M, D) fp32 param. Returns (1, 1+h0*w0, D).
     Bicubic with scale_factor=(h0+offset)/M per axis, like the torch code.
+
+    Orientation note: upstream unpacks ``B, nc, w, h = x.shape`` — its ``w``
+    is torch dim 2, i.e. the HEIGHT — so its ``sx = (w0+off)/M`` applied to
+    interpolate dim -2 scales the height axis by the height-derived factor.
+    Despite the misleading names, upstream IS the natural (h0, w0)
+    orientation implemented here, row-major-flattened like the patch tokens.
     """
     n = pos_embed.shape[1] - 1
     m = int(math.sqrt(n))
@@ -124,11 +130,16 @@ class _LayerScale(nn.Module):
 
 
 class DinoBlock(nn.Module):
-    """pre-LN block with LayerScale: x += ls1(attn(n1(x))); x += ls2(mlp(n2(x)))."""
+    """pre-LN block with LayerScale: x += ls1(attn(n1(x))); x += ls2(mlp(n2(x))).
+
+    ``ffn_layer``: "mlp" (fc1/GELU/fc2 — vits/b/l) or "swiglufused"
+    (w12 → split → silu(x1)*x2 → w3 — the released ViT-g/14; hidden width
+    is the SwiGLU-aligned (int(dim*ratio*2/3)+7)//8*8)."""
 
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    ffn_layer: str = "mlp"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -137,18 +148,26 @@ class DinoBlock(nn.Module):
         h = DinoAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + _LayerScale(self.dim, name="ls1")(h)
         h = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = Dense(int(self.dim * self.mlp_ratio), init_scheme="trunc", dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = Dense(self.dim, init_scheme="trunc", dtype=self.dtype, name="mlp_fc2")(h)
+        if self.ffn_layer == "swiglufused":
+            hidden = (int(self.dim * self.mlp_ratio * 2 / 3) + 7) // 8 * 8
+            h12 = Dense(2 * hidden, init_scheme="trunc", dtype=self.dtype, name="mlp_w12")(h)
+            x1, x2 = jnp.split(h12, 2, axis=-1)
+            h = nn.silu(x1) * x2
+            h = Dense(self.dim, init_scheme="trunc", dtype=self.dtype, name="mlp_w3")(h)
+        else:
+            h = Dense(int(self.dim * self.mlp_ratio), init_scheme="trunc", dtype=self.dtype, name="mlp_fc1")(h)
+            h = nn.gelu(h, approximate=False)
+            h = Dense(self.dim, init_scheme="trunc", dtype=self.dtype, name="mlp_fc2")(h)
         return x + _LayerScale(self.dim, name="ls2")(h)
 
 
-# (embed_dim, depth, num_heads) for the four released sizes
+# (embed_dim, depth, num_heads, ffn_layer) for the four released sizes;
+# giant uses the fused-SwiGLU FFN (hub dinov2_vitg14: ffn_layer="swiglufused")
 DINOV2_ARCHS = {
-    "vits14": (384, 12, 6),
-    "vitb14": (768, 12, 12),
-    "vitl14": (1024, 24, 16),
-    "vitg14": (1536, 40, 24),
+    "vits14": (384, 12, 6, "mlp"),
+    "vitb14": (768, 12, 12, "mlp"),
+    "vitl14": (1024, 24, 16, "mlp"),
+    "vitg14": (1536, 40, 24, "swiglufused"),
 }
 
 
@@ -161,6 +180,7 @@ class DinoViT(nn.Module):
     num_heads: int = 16
     patch_size: int = 14
     mlp_ratio: float = 4.0
+    ffn_layer: str = "mlp"
     pretrain_grid: int = 37  # 518 // 14; sets the pos_embed param shape
     interpolate_offset: float = 0.1
     dtype: Dtype = jnp.float32
@@ -210,7 +230,12 @@ class DinoViT(nn.Module):
         outs = []
         for i in range(self.depth):
             tok = DinoBlock(
-                self.embed_dim, self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"blocks_{i}"
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.ffn_layer,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
             )(tok)
             if i in indices:
                 outs.append(tok)

@@ -82,9 +82,11 @@ class _NonOverlapConvTranspose(nn.Module):
 
 
 class ReassembleBlocks(nn.Module):
-    """ViT token maps -> 4 pyramid levels at strides p/4, p/2, p, 2p."""
+    """ViT token maps -> 4 pyramid levels at strides p/4, p/2, p, 2p.
 
-    embed_dim: int
+    The readout-projection width follows the incoming feature dim (the
+    mmseg head's ``embed_dims`` is always the backbone width)."""
+
     post_process_channels: Sequence[int] = (128, 256, 512, 1024)
     dtype: Dtype = jnp.float32
 
@@ -154,7 +156,6 @@ class FeatureFusionBlock(nn.Module):
 class DPTHead(nn.Module):
     """mmseg/DINOv2-release DPT depth head."""
 
-    embed_dim: int = 1024
     channels: int = 256
     post_process_channels: Sequence[int] = (128, 256, 512, 1024)
     classify: bool = True
@@ -169,7 +170,7 @@ class DPTHead(nn.Module):
     @nn.compact
     def __call__(self, inputs):
         feats = ReassembleBlocks(
-            self.embed_dim, self.post_process_channels, dtype=self.dtype, name="reassemble_blocks"
+            self.post_process_channels, dtype=self.dtype, name="reassemble_blocks"
         )(inputs)
         feats = [
             Conv(self.channels, 3, 1, 1, use_bias=False, dtype=self.dtype, name=f"convs_{i}")(f)
@@ -243,18 +244,18 @@ class DinoDPTDepther(nn.Module):
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1:3]
-        dim, depth, heads = DINOV2_ARCHS[self.arch]
+        dim, depth, heads, ffn = DINOV2_ARCHS[self.arch]
         xp = center_pad(x, 14)
         feats = DinoViT(
             embed_dim=dim,
             depth=depth,
             num_heads=heads,
+            ffn_layer=ffn,
             pretrain_grid=self.pretrain_grid,
             dtype=self.dtype,
             name="backbone",
         )(xp, out_indices=self._default_indices(depth), final_norm=self.final_norm)
         pred = DPTHead(
-            embed_dim=dim,
             channels=self.channels,
             post_process_channels=self.post_process_channels,
             classify=self.classify,

@@ -362,6 +362,11 @@ def map_dinov2_key(key: str) -> Optional[Tuple[str, Callable]]:
             "mlp.fc1.bias": ("mlp_fc1/Dense_0/bias", _ident),
             "mlp.fc2.weight": ("mlp_fc2/Dense_0/kernel", _lin_w),
             "mlp.fc2.bias": ("mlp_fc2/Dense_0/bias", _ident),
+            # ViT-g/14 fused-SwiGLU FFN (hub ffn_layer="swiglufused")
+            "mlp.w12.weight": ("mlp_w12/Dense_0/kernel", _lin_w),
+            "mlp.w12.bias": ("mlp_w12/Dense_0/bias", _ident),
+            "mlp.w3.weight": ("mlp_w3/Dense_0/kernel", _lin_w),
+            "mlp.w3.bias": ("mlp_w3/Dense_0/bias", _ident),
         }
         inner = table.get(rest)
         if inner is None:

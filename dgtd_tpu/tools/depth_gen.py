@@ -111,9 +111,13 @@ class Dinov2Depther:
         flat.update({f"decode_head/{k}": v for k, v in head.items()})
         params, loaded, missed = graft_flat_params(params, flat)
         if missed:
-            print(f"depther graft: {len(loaded)} loaded, {len(missed)} left at init:")
-            for k in missed[:10]:
-                print("  init:", k)
+            # every depther param must come from the checkpoints — running a
+            # 300M-param model with zero-init leaves produces silent garbage
+            raise ValueError(
+                f"depther graft left {len(missed)} params uninitialized "
+                f"(loaded {len(loaded)}); first misses: {missed[:5]} — "
+                "wrong --arch for this checkpoint?"
+            )
         self.params = {"params": params}
         self._jitted = {}
         self._jax = jax
@@ -162,9 +166,10 @@ def main(argv=None):
         "--long-side",
         type=int,
         default=0,
-        help="resize so the long side is N (pads to /14 internally); 0 = native "
-        "resolution like the reference's scale_factor=1 path (dino.py:234) — "
-        "note native means one XLA compile per unique image shape",
+        help="resize so the long side is N before estimating (any estimator; "
+        "output is resized back to the source size); 0 = native resolution "
+        "like the reference's scale_factor=1 path (dino.py:234) — for dinov2 "
+        "native means one XLA compile per unique image shape",
     )
     ap.add_argument("--suffix", default="_depth.png")
     args = ap.parse_args(argv)
@@ -191,7 +196,7 @@ def main(argv=None):
             with Image.open(path) as im:
                 im = im.convert("RGB")
                 size = im.size
-                if args.estimator == "dinov2" and args.long_side:
+                if args.long_side:
                     scale = args.long_side / max(im.size)
                     im = im.resize(
                         (round(im.width * scale), round(im.height * scale)), Image.BILINEAR

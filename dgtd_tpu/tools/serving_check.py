@@ -106,13 +106,15 @@ def check_diffusion(grid: int, c: int = 24, kernel: int = 7, steps: int = 4, ite
     results = {"check": f"diffusion_{grid}sq_c{c}_k{kernel}_s{steps}"}
 
     def run_planes(x, w, seed):
-        return diffusion_pallas_v2_planes(x + seed * 1e-6, w, kernel, steps)
+        # cast the perturbation: a strong-f32 seed would silently promote the
+        # whole bf16 activation stream to f32 (2x HBM traffic in the bench)
+        return diffusion_pallas_v2_planes(x + (seed * 1e-6).astype(x.dtype), w, kernel, steps)
 
     results["pallas_planes_ms"] = round(_timed_scan(run_planes, [x_planes, w_planes]) * 1e3, 3)
 
     def run_nhwc_wrapper(x, w, seed):
         return diffusion_pallas_v2(
-            (x + seed * 1e-6)[None], w[None], kernel, steps
+            (x + (seed * 1e-6).astype(x.dtype))[None], w[None], kernel, steps
         )[0]
 
     results["pallas_nhwc_wrapper_ms"] = round(
@@ -120,7 +122,7 @@ def check_diffusion(grid: int, c: int = 24, kernel: int = 7, steps: int = 4, ite
     )
 
     def run_xla(x, w, seed):
-        y = x + seed * 1e-6
+        y = x + (seed * 1e-6).astype(x.dtype)
         for _ in range(steps):
             y = message_passing_step(y, w, kernel)
         return y

@@ -11,9 +11,13 @@ a jitted graph; the model's predict path stays pure).
 ``find_bbox`` uses scipy connected components instead of cv2 contours — no
 cv2 dependency in the framework — and is oracle-tested against the exact
 reference cv2 pipeline in tests/test_image_ops.py. Known delta (documented):
-for a *hollow* blob cv2's contourArea scores the outline's enclosed area
-while pixel-count scores filled pixels; ties between blobs can then resolve
-differently. Solid masks (the model's outputs) agree exactly.
+blobs are ranked by PIXEL COUNT here vs cv2's contourArea (the shoelace
+area of the traced outer boundary polygon) in the reference — the two
+orderings differ for hollow blobs (outline-enclosed vs filled area) and for
+thin blobs (a 1-pixel-wide line has contourArea 0 but a positive pixel
+count), so tie-breaks between comparably-sized blobs can pick a different
+blob. For well-separated solid 2-D blobs the orderings — and the returned
+boxes — agree (the oracle-tested regime).
 """
 
 from __future__ import annotations

@@ -323,7 +323,7 @@ def test_depther_forward_matches_torch_mirror():
     # register the tiny arch for the test
     from dgtd_tpu.models import dinov2 as d2
 
-    d2.DINOV2_ARCHS["tiny"] = (DIM, DEPTH, HEADS)
+    d2.DINOV2_ARCHS["tiny"] = (DIM, DEPTH, HEADS, "mlp")
     try:
         variables = _to_jax_params_depther(tm, jm, x.shape)
         out = np.asarray(jax.jit(jm.apply)(variables, jnp.asarray(x)))
@@ -354,9 +354,7 @@ def _to_jax_params_depther(tm, jm, xshape):
 
 def test_dpt_regression_head_path():
     """classify=False keeps the plain relu+min_depth regression contract."""
-    head = DPTHead(
-        embed_dim=DIM, channels=CH, post_process_channels=PPC, classify=False
-    )
+    head = DPTHead(channels=CH, post_process_channels=PPC, classify=False)
     feats = [
         (jnp.ones((1, 4, 4, DIM)) * 0.1, jnp.ones((1, DIM)) * 0.1) for _ in range(4)
     ]
@@ -364,3 +362,48 @@ def test_dpt_regression_head_path():
     out = head.apply(var, feats)
     assert out.shape == (1, 32, 32, 1)
     assert np.all(np.asarray(out) >= 0.001)
+
+
+class _TSwiGLUFFN(tnn.Module):
+    """dinov2 SwiGLUFFNFused mirror (official keys mlp.w12 / mlp.w3)."""
+
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.w12 = tnn.Linear(dim, 2 * hidden)
+        self.w3 = tnn.Linear(hidden, dim)
+
+    def forward(self, x):
+        x12 = self.w12(x)
+        x1, x2 = x12.chunk(2, dim=-1)
+        return self.w3(F.silu(x1) * x2)
+
+
+def test_swiglu_block_matches_torch_mirror():
+    """ViT-g/14's fused-SwiGLU FFN: converter keys (mlp.w12/w3) + forward
+    parity, incl. the SwiGLU-aligned hidden width (int(d*4*2/3)+7)//8*8."""
+    from dgtd_tpu.models.dinov2 import DinoBlock
+
+    dim, heads = 24, 2
+    hidden = (int(dim * 4.0 * 2 / 3) + 7) // 8 * 8
+
+    tb = _TBlock(dim, heads)
+    tb.mlp = _TSwiGLUFFN(dim, hidden)
+    tb.eval()
+
+    state = {f"blocks.0.{k}": v.detach().numpy() for k, v in tb.state_dict().items()}
+    flat, skipped = convert_state_dict(state, "dinov2")
+    assert skipped == [], skipped
+
+    jb = DinoBlock(dim, heads, ffn_layer="swiglufused")
+    x = np.random.RandomState(5).randn(2, 7, dim).astype(np.float32)
+    var = jax.eval_shape(lambda: jb.init(jax.random.PRNGKey(0), jnp.zeros((2, 7, dim))))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), var)["params"]
+    params, loaded, missed = graft_flat_params(
+        params, {k[len("blocks_0/") :]: v for k, v in flat.items()}
+    )
+    assert missed == [], missed
+
+    with torch.no_grad():
+        ref = tb(torch.from_numpy(x)).numpy()
+    out = np.asarray(jb.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

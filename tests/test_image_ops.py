@@ -171,3 +171,18 @@ def test_show_helpers_draw():
     show_box(np.array([0, 0, 2, 2]), ax)
     assert len(ax.patches) == 1 and len(ax.images) == 1
     plt.close(fig)
+
+
+def test_find_bbox_thin_blob_delta_pinned():
+    """Documented delta (utils/vis_debug.py docstring): cv2 contourArea of a
+    1-pixel-wide line is 0 while our pixel count is positive, so against a
+    smaller solid square OUR helper picks the line and cv2 picks the square.
+    Pin our semantics so the divergence stays deliberate."""
+    from dgtd_tpu.utils.vis_debug import find_bbox
+
+    fm = np.zeros((16, 24), np.float32)
+    fm[2, 3:15] = 1.0  # 12-pixel line (cv2 contourArea 0)
+    fm[8:11, 4:7] = 1.0  # 3x3 square (9 pixels, cv2 contourArea 4)
+    np.testing.assert_array_equal(find_bbox(fm, 0.5), [3, 2, 15, 3])  # the line
+    cv2 = pytest.importorskip("cv2")
+    np.testing.assert_array_equal(_cv2_find_bbox(fm, 0.5), [4, 8, 7, 11])  # the square
