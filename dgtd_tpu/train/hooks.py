@@ -55,7 +55,7 @@ class LoggerHook(Hook):
 
     def before_train(self, runner):
         self._t0 = time.time()
-        self._last_step = int(runner.state.step)
+        self._last_step = runner.host_step
 
     def _emit(self, runner, step, metrics):
         now = time.time()
@@ -71,14 +71,16 @@ class LoggerHook(Hook):
         runner.log(record)
 
     def after_train_iter(self, runner, metrics):
-        step = int(runner.state.step)
+        # host_step, NOT int(runner.state.step): reading the device scalar
+        # here would block the async dispatch pipeline on every iteration
+        step = runner.host_step
         if step % self.interval == 0:
             self._emit(runner, step, metrics)
         else:
             self._pending = metrics
 
     def after_train_epoch(self, runner):
-        step = int(runner.state.step)
+        step = runner.host_step
         if not self.ignore_last and step != self._last_logged and self._pending is not None:
             self._emit(runner, step, self._pending)
         self._pending = None
@@ -97,7 +99,7 @@ class ProfilerHook(Hook):
         self._active = False
 
     def after_train_iter(self, runner, metrics):
-        step = int(runner.state.step)
+        step = runner.host_step
         out = self.out_dir or os.path.join(runner.work_dir, "profile")
         if not self._active and step == self.start_step:
             jax.profiler.start_trace(out)

@@ -1,0 +1,88 @@
+"""AOT serving-bundle export: round-trip + loader semantics.
+
+The exported StableHLO artifact must reproduce the live model's predict
+exactly (same weights, same backend), and ``ServingModel`` must handle
+non-bucket input sizes by resize-to-bucket + resize-back.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgtd_tpu.core.registry import MODELS
+
+# module fixture compiles the tiny model 3× (export lowering, live predict,
+# deserialized call) — minutes of CPU compile
+pytestmark = pytest.mark.slow
+from dgtd_tpu.tools.export_serving import ServingModel, export_bundle
+
+TINY = dict(
+    variant="tiny",
+    convnext_dims=(8, 16, 32, 64),
+    convnext_depths=(1, 1, 1, 1),
+    channel=8,
+    latent_dim=8,
+    grid=8,
+    refine_iters=1,
+)
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bundle"))
+    model = MODELS.build({"type": "cod", "dtype": jnp.float32, **TINY})
+    variables = model.init(jax.random.PRNGKey(0), (1, 48, 48, 3))
+    meta = export_bundle(model, variables, out, sizes=[48], meta_extra={"model": "cod"})
+    return out, model, variables, meta
+
+
+def test_bundle_files_and_meta(bundle):
+    out, _, _, meta = bundle
+    assert sorted(os.listdir(out)) == ["meta.json", "params.npz", "predict_48.hlo"]
+    disk_meta = json.load(open(os.path.join(out, "meta.json")))
+    assert disk_meta["sizes"] == [48] and disk_meta["model"] == "cod"
+    assert disk_meta["format_version"] >= 1
+
+
+def test_exported_matches_live_model(bundle):
+    out, model, variables, _ = bundle
+    serving = ServingModel.load(out)
+    rng = np.random.RandomState(0)
+    image = rng.rand(1, 48, 48, 3).astype(np.float32)
+    depth = rng.rand(1, 48, 48, 1).astype(np.float32)
+    got = serving(image, depth)
+    want, _ = model.predict(variables, jnp.asarray(image), jnp.asarray(depth))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6, atol=1e-6)
+    assert got.shape == (1, 48, 48, 1)
+    assert got.min() >= 0.0 and got.max() <= 1.0
+
+
+def test_loader_resizes_non_bucket_inputs(bundle):
+    out = bundle[0]
+    serving = ServingModel.load(out)
+    rng = np.random.RandomState(1)
+    image = rng.rand(1, 30, 40, 3).astype(np.float32)
+    depth = rng.rand(1, 30, 40, 1).astype(np.float32)
+    prob = serving(image, depth)
+    assert prob.shape == (1, 30, 40, 1)
+    assert np.isfinite(prob).all()
+
+
+def test_loader_needs_no_model_code(bundle):
+    """The bundle must rebuild params from the npz alone — identical tree."""
+    out, _, variables, _ = bundle
+    serving = ServingModel.load(out)
+    want_paths = {
+        "/".join(str(getattr(k, "key", k)) for k in kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(variables)[0]
+    }
+    got_paths = {
+        "/".join(str(getattr(k, "key", k)) for k in kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(serving.variables)[0]
+    }
+    assert got_paths == want_paths
