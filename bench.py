@@ -40,6 +40,51 @@ except Exception:
 from jax import lax
 
 
+def measure_train_scan(model, variables, size, batch_size, iters, repeats, flat_opt=False):
+    """Device-bound train-step seconds/step: ``iters`` steps inside one
+    jitted ``lax.scan`` (the real loop's sync pattern — it reads only
+    host_step per iteration and syncs at logger intervals). Returns
+    (sec_per_step, last_loss)."""
+    from jax import lax
+
+    from dgtd_tpu.train.optim import build_optimizer
+    from dgtd_tpu.train.state import TrainState, make_train_step
+
+    tx = build_optimizer(variables["params"], steps_per_epoch=100, flatten=flat_opt)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    train_step = make_train_step(model, tx)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input": jnp.asarray(rng.rand(batch_size, size, size, 3), jnp.float32),
+        "depth": jnp.asarray(rng.rand(batch_size, size, size, 1), jnp.float32),
+        "label": jnp.asarray(rng.rand(batch_size, size, size, 1) > 0.5, jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    def multi_step(state, _):
+        def body(st, i):
+            st, aux = train_step(st, {**batch, "input": batch["input"] + i * 1e-6}, key)
+            return st, aux["loss"]
+
+        return lax.scan(body, state, jnp.arange(iters, dtype=jnp.float32))
+
+    multi_step = jax.jit(multi_step, donate_argnums=(0,))
+    state, losses = multi_step(state, None)
+    loss = float(losses[-1])  # warmup + force
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        state, losses = multi_step(state, None)
+        loss = float(losses[-1])
+        times.append(time.time() - t0)
+    return min(times) / iters, loss
+
+
 def bench_train(model, variables, args):
     """Full train-step throughput (fwd+bwd+AdamW), loss readback each step.
 
@@ -51,42 +96,30 @@ def bench_train(model, variables, args):
     from dgtd_tpu.train.optim import build_optimizer
     from dgtd_tpu.train.state import TrainState, make_train_step
 
-    tx = build_optimizer(variables["params"], steps_per_epoch=100, flatten=args.flat_opt)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
-    )
-    train_step = make_train_step(model, tx)
-    rng = np.random.RandomState(0)
-    batch = {
-        "input": jnp.asarray(rng.rand(args.batch, args.size, args.size, 3), jnp.float32),
-        "depth": jnp.asarray(rng.rand(args.batch, args.size, args.size, 1), jnp.float32),
-        "label": jnp.asarray(rng.rand(args.batch, args.size, args.size, 1) > 0.5, jnp.float32),
-    }
-    key = jax.random.PRNGKey(1)
     if args.scan:
-        from jax import lax
-
-        def multi_step(state, _):
-            def body(st, i):
-                st, aux = train_step(st, {**batch, "input": batch["input"] + i * 1e-6}, key)
-                return st, aux["loss"]
-
-            return lax.scan(body, state, jnp.arange(args.iters, dtype=jnp.float32))
-
-        multi_step = jax.jit(multi_step, donate_argnums=(0,))
-        state, losses = multi_step(state, None)
-        loss = float(losses[-1])  # warmup + force
-        times = []
-        for _ in range(args.repeats):
-            t0 = time.time()
-            state, losses = multi_step(state, None)
-            loss = float(losses[-1])
-            times.append(time.time() - t0)
-        sec = min(times) / args.iters
+        sec, loss = measure_train_scan(
+            model, variables, args.size, args.batch, args.iters, args.repeats, args.flat_opt
+        )
     else:
+        tx = build_optimizer(
+            variables["params"], steps_per_epoch=100, flatten=args.flat_opt
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+        train_step = make_train_step(model, tx)
+        rng = np.random.RandomState(0)
+        batch = {
+            "input": jnp.asarray(rng.rand(args.batch, args.size, args.size, 3), jnp.float32),
+            "depth": jnp.asarray(rng.rand(args.batch, args.size, args.size, 1), jnp.float32),
+            "label": jnp.asarray(
+                rng.rand(args.batch, args.size, args.size, 1) > 0.5, jnp.float32
+            ),
+        }
+        key = jax.random.PRNGKey(1)
         state, aux = train_step(state, batch, key)
         float(aux["loss"])  # force
         t0 = time.time()
@@ -129,6 +162,10 @@ def main():
                     help="train mode: optax.flatten the optimizer update")
     ap.add_argument("--pallas-ln", action="store_true",
                     help="route LayerNorm through the fused Pallas kernel")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the secondary train-step measurement")
+    ap.add_argument("--train-batch", type=int, default=32,
+                    help="batch for the secondary train metric (recipe-scale)")
     args = ap.parse_args()
 
     if args.cpu_baseline_mode:
@@ -199,6 +236,23 @@ def main():
         with open(base_path) as f:
             vs = ips / float(json.load(f)["cpu_images_per_sec"])
 
+    # secondary metric in the SAME line: device-bound train-step throughput
+    # at the recipe-shaped bs32 config (VERDICT r1: train perf must be
+    # driver-visible). Never allowed to sink the headline — any failure is
+    # reported inline. --no-train (or a shrunken run) skips it.
+    train_fields = {}
+    if not args.no_train:
+        try:
+            tsec, _ = measure_train_scan(
+                model, variables, args.size, args.train_batch, iters=8, repeats=2
+            )
+            train_fields = {
+                "train_images_per_sec_bs%d" % args.train_batch: round(args.train_batch / tsec, 2),
+                "train_ms_per_step": round(tsec * 1000, 2),
+            }
+        except Exception as e:  # pragma: no cover - defensive
+            train_fields = {"train_bench_error": f"{type(e).__name__}: {e}"[:160]}
+
     print(
         json.dumps(
             {
@@ -207,6 +261,7 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "ms_per_image": round(sec / (iters * args.batch) * 1000, 3),
+                **train_fields,
                 "device": str(jax.devices()[0]),
             }
         )

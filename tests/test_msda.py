@@ -75,7 +75,7 @@ def test_reference_matches_torch_oracle_double():
     np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-14)
 
 
-@pytest.mark.parametrize("channels", [2, 30, 32, 71, 1025])
+@pytest.mark.parametrize("channels", [2, 30, 32, 71, 1025, 3096])
 def test_pallas_matches_reference(channels):
     value, loc, aw = make_inputs(channels, seed=11 + channels)
     ref = np.asarray(ms_deform_attn_reference(jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(aw)))
@@ -87,10 +87,24 @@ def test_pallas_matches_reference(channels):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
 
 
-# channel widths follow the reference gradcheck matrix (twig/ops/test.py:108,
-# trimmed of the >1k giants for CPU runtime); lq=2 exercises heavy
-# query-block padding (q_block=128), lq=150 exercises multiple q blocks
-@pytest.mark.parametrize("channels,lq", [(2, 2), (30, 2), (32, 2), (64, 2), (71, 2), (16, 150)])
+# channel widths follow the reference gradcheck matrix (twig/ops/test.py:108);
+# the >1k giants (which hit the reference's multi_blocks/gm CUDA backward
+# variants — ms_deform_im2col_cuda.cuh:923-1060 — and our channel-block
+# padding path) run as slow cases; lq=2 exercises heavy query-block padding
+# (q_block=128), lq=150 exercises multiple q blocks
+@pytest.mark.parametrize(
+    "channels,lq",
+    [
+        (2, 2),
+        (30, 2),
+        (32, 2),
+        (64, 2),
+        (71, 2),
+        (16, 150),
+        (1025, 2),
+        (2048, 2),
+    ],
+)
 def test_gradients_match_torch(channels, lq):
     value, loc, aw = make_inputs(channels, seed=23 + channels, lq=lq)
 
