@@ -55,6 +55,31 @@ def _timed_scan(fn, xs_list, repeats=3, captures=()):
     return min(times) / n
 
 
+def _timed_scan_idx(fn, iters, captures, repeats=3):
+    """Like ``_timed_scan`` but per-iteration variation is the scanned index
+    (offset by a per-repeat seed) instead of ``iters`` stacked input copies —
+    required when one input copy is GB-scale (1024² affinity fields).
+    ``fn(i, *captures)`` with scalar ``i``; returns best sec/iter."""
+
+    @jax.jit
+    def run(seed, captures):
+        def body(carry, i):
+            return carry + jnp.sum(fn(i + seed, *captures)), None
+
+        total, _ = lax.scan(
+            body, jnp.float32(0.0), jnp.arange(iters, dtype=jnp.float32)
+        )
+        return total
+
+    float(run(jnp.float32(-7.0), captures))  # compile
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        float(run(jnp.float32(r * iters), captures))
+        times.append(time.perf_counter() - t0)
+    return min(times) / iters
+
+
 def check_predict(size: int, iters: int = 4):
     from dgtd_tpu.models import cod
 
@@ -87,52 +112,80 @@ def check_predict(size: int, iters: int = 4):
 
 
 def check_diffusion(grid: int, c: int = 24, kernel: int = 7, steps: int = 4, iters: int = 4):
+    """The affinity field is (H,W,C,k²) — 2.35 GB bf16 at a 1024² grid — so
+    everything is sized for ONE resident copy per layout: inputs are generated
+    on device (no host transfer of GB-scale tensors through the tunnel) and
+    per-iteration variation comes from the scanned index + per-repeat seed
+    (stacking ``iters`` distinct copies, the small-grid harness design, OOMs
+    HBM at 1024²)."""
     from dgtd_tpu.models.diffusion import message_passing_step, normalize_affinity
     from dgtd_tpu.ops.diffusion_pallas import (
         diffusion_pallas_v2,
         diffusion_pallas_v2_planes,
     )
 
-    rng = np.random.RandomState(0)
     dtype = jnp.bfloat16
-    x_nhwc = jnp.asarray(rng.rand(iters, 1, grid, grid, c), dtype)
-    w_raw = jnp.asarray(rng.rand(iters, 1, grid, grid, c, kernel * kernel), jnp.float32)
-    w_nhwc = normalize_affinity(w_raw).astype(dtype)
-    x_planes = jnp.asarray(x_nhwc.transpose(0, 1, 4, 2, 3).reshape(iters, c, grid, grid))
-    w_planes = jnp.asarray(
-        w_nhwc.transpose(0, 1, 4, 5, 2, 3).reshape(iters, c, kernel * kernel, grid, grid)
-    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x_nhwc = jax.jit(
+        lambda k: jax.random.uniform(k, (1, grid, grid, c), dtype)
+    )(k1)
+    # normalize in fp32 blocks? value range is benign for bf16 random-walk
+    # normalization; generate bf16 directly to halve peak HBM
+    w_nhwc = jax.jit(
+        lambda k: normalize_affinity(
+            jax.random.uniform(k, (1, grid, grid, c, kernel * kernel), dtype)
+        ).astype(dtype)
+    )(k2)
 
     results = {"check": f"diffusion_{grid}sq_c{c}_k{kernel}_s{steps}"}
 
-    def run_planes(x, w, seed):
+    def leg(name, fn, args):
+        """Each backend measured independently: at serving grids the fused
+        XLA path can exceed HBM (its patch unfold is another k²-sized field)
+        — that is a RESULT, not a harness failure."""
+        try:
+            results[name] = round(_timed_scan_idx(fn, iters, args) * 1e3, 3)
+        except Exception as e:
+            msg = str(e)
+            results[name] = (
+                "OOM: " + msg[msg.find("Ran out of memory") :][:90]
+                if "Ran out of memory" in msg
+                else f"error: {type(e).__name__}: {msg[:120]}"
+            )
+
+    def run_xla(i, x, w):
         # cast the perturbation: a strong-f32 seed would silently promote the
         # whole bf16 activation stream to f32 (2x HBM traffic in the bench)
-        return diffusion_pallas_v2_planes(x + (seed * 1e-6).astype(x.dtype), w, kernel, steps)
-
-    results["pallas_planes_ms"] = round(_timed_scan(run_planes, [x_planes, w_planes]) * 1e3, 3)
-
-    def run_nhwc_wrapper(x, w, seed):
-        return diffusion_pallas_v2(
-            (x + (seed * 1e-6).astype(x.dtype))[None], w[None], kernel, steps
-        )[0]
-
-    results["pallas_nhwc_wrapper_ms"] = round(
-        _timed_scan(run_nhwc_wrapper, [x_nhwc[:, 0], w_nhwc[:, 0]]) * 1e3, 3
-    )
-
-    def run_xla(x, w, seed):
-        y = x + (seed * 1e-6).astype(x.dtype)
+        y = x + (i * 1e-6).astype(x.dtype)
         for _ in range(steps):
             y = message_passing_step(y, w, kernel)
         return y
 
-    results["fused_xla_ms"] = round(_timed_scan(run_xla, [x_nhwc, w_nhwc]) * 1e3, 3)
+    leg("fused_xla_ms", run_xla, [x_nhwc, w_nhwc])
 
-    results["planes_vs_xla"] = round(results["fused_xla_ms"] / results["pallas_planes_ms"], 2)
-    results["planes_vs_nhwc_wrapper"] = round(
-        results["pallas_nhwc_wrapper_ms"] / results["pallas_planes_ms"], 2
-    )
+    def run_nhwc_wrapper(i, x, w):
+        return diffusion_pallas_v2(x + (i * 1e-6).astype(x.dtype), w, kernel, steps)
+
+    leg("pallas_nhwc_wrapper_ms", run_nhwc_wrapper, [x_nhwc, w_nhwc])
+
+    # plane layouts replace the NHWC copies (one resident k²-field at a time)
+    x_planes = jax.jit(lambda x: x[0].transpose(2, 0, 1))(x_nhwc)
+    w_planes = jax.jit(
+        lambda w: w[0].transpose(2, 3, 0, 1).reshape(c, kernel * kernel, grid, grid)
+    )(w_nhwc)
+    del w_nhwc
+
+    def run_planes(i, x, w):
+        return diffusion_pallas_v2_planes(x + (i * 1e-6).astype(x.dtype), w, kernel, steps)
+
+    leg("pallas_planes_ms", run_planes, [x_planes, w_planes])
+
+    for num, ratio in (
+        ("fused_xla_ms", "planes_vs_xla"),
+        ("pallas_nhwc_wrapper_ms", "planes_vs_nhwc_wrapper"),
+    ):
+        if isinstance(results[num], float) and isinstance(results["pallas_planes_ms"], float):
+            results[ratio] = round(results[num] / results["pallas_planes_ms"], 2)
     print(json.dumps(results))
 
 
