@@ -40,13 +40,8 @@ except Exception:
 from jax import lax
 
 
-def measure_train_scan(model, variables, size, batch_size, iters, repeats, flat_opt=False):
-    """Device-bound train-step seconds/step: ``iters`` steps inside one
-    jitted ``lax.scan`` (the real loop's sync pattern — it reads only
-    host_step per iteration and syncs at logger intervals). Returns
-    (sec_per_step, last_loss)."""
-    from jax import lax
-
+def _train_setup(model, variables, size, batch_size, flat_opt=False):
+    """Shared train-bench state: optimizer, TrainState, random batch, key."""
     from dgtd_tpu.train.optim import build_optimizer
     from dgtd_tpu.train.state import TrainState, make_train_step
 
@@ -64,7 +59,17 @@ def measure_train_scan(model, variables, size, batch_size, iters, repeats, flat_
         "depth": jnp.asarray(rng.rand(batch_size, size, size, 1), jnp.float32),
         "label": jnp.asarray(rng.rand(batch_size, size, size, 1) > 0.5, jnp.float32),
     }
-    key = jax.random.PRNGKey(1)
+    return state, train_step, batch, jax.random.PRNGKey(1)
+
+
+def measure_train_scan(model, variables, size, batch_size, iters, repeats, flat_opt=False):
+    """Device-bound train-step seconds/step: ``iters`` steps inside one
+    jitted ``lax.scan`` (the real loop's sync pattern — it reads only
+    host_step per iteration and syncs at logger intervals). Returns
+    (sec_per_step, last_loss)."""
+    from jax import lax
+
+    state, train_step, batch, key = _train_setup(model, variables, size, batch_size, flat_opt)
 
     def multi_step(state, _):
         def body(st, i):
@@ -93,33 +98,14 @@ def bench_train(model, variables, args):
     logger intervals); without it each step pays a tunnel round-trip.
     ``--flat-opt`` applies optax.flatten to collapse the per-leaf optimizer
     update ops."""
-    from dgtd_tpu.train.optim import build_optimizer
-    from dgtd_tpu.train.state import TrainState, make_train_step
-
     if args.scan:
         sec, loss = measure_train_scan(
             model, variables, args.size, args.batch, args.iters, args.repeats, args.flat_opt
         )
     else:
-        tx = build_optimizer(
-            variables["params"], steps_per_epoch=100, flatten=args.flat_opt
+        state, train_step, batch, key = _train_setup(
+            model, variables, args.size, args.batch, args.flat_opt
         )
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(variables["params"]),
-        )
-        train_step = make_train_step(model, tx)
-        rng = np.random.RandomState(0)
-        batch = {
-            "input": jnp.asarray(rng.rand(args.batch, args.size, args.size, 3), jnp.float32),
-            "depth": jnp.asarray(rng.rand(args.batch, args.size, args.size, 1), jnp.float32),
-            "label": jnp.asarray(
-                rng.rand(args.batch, args.size, args.size, 1) > 0.5, jnp.float32
-            ),
-        }
-        key = jax.random.PRNGKey(1)
         state, aux = train_step(state, batch, key)
         float(aux["loss"])  # force
         t0 = time.time()
@@ -239,9 +225,13 @@ def main():
     # secondary metric in the SAME line: device-bound train-step throughput
     # at the recipe-shaped bs32 config (VERDICT r1: train perf must be
     # driver-visible). Never allowed to sink the headline — any failure is
-    # reported inline. --no-train (or a shrunken run) skips it.
+    # reported inline, and off-TPU hosts skip it (a CPU host would grind
+    # through a multi-minute bs32 train compile for a meaningless number).
+    # --no-train skips it explicitly.
     train_fields = {}
-    if not args.no_train:
+    if not args.no_train and jax.default_backend() != "tpu":
+        train_fields = {"train_bench_skipped": f"non-TPU backend ({jax.default_backend()})"}
+    elif not args.no_train:
         try:
             tsec, _ = measure_train_scan(
                 model, variables, args.size, args.train_batch, iters=8, repeats=2

@@ -39,14 +39,12 @@ import numpy as np
 FORMAT_VERSION = 1
 
 
-def _flatten_tree(tree, prefix=()) -> Dict[str, np.ndarray]:
-    flat: Dict[str, np.ndarray] = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            flat.update(_flatten_tree(v, prefix + (str(k),)))
-    else:
-        flat["/".join(prefix)] = np.asarray(tree, np.float32)
-    return flat
+def _flatten_tree(tree) -> Dict[str, np.ndarray]:
+    """Shared npz flat-key format (train/hooks.py), leaves cast to the fp32
+    serving contract."""
+    from ..train.hooks import flatten_tree
+
+    return {k: np.asarray(v, np.float32) for k, v in flatten_tree(tree).items()}
 
 
 def _unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -172,6 +170,47 @@ def _resize_nhwc(x, size):
     )
 
 
+def _load_checkpoint_variables(variables, ckpt_path: str):
+    """Graft a checkpoint into the FULL variables tree (params AND BN
+    batch_stats — serving with init running stats silently corrupts
+    predictions). Accepts an orbax checkpoint directory (the trainer's
+    primary format), the trainer's flat-npz fallback, or a
+    ``convert_ckpt full`` npz. Strict: every param leaf must be covered;
+    batch_stats must be covered whenever the model has any."""
+    from ..train.hooks import graft_flat_params, load_npz_tree
+
+    if os.path.isdir(ckpt_path):
+        import orbax.checkpoint as ocp
+
+        from ..train.hooks import flatten_tree
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+        restored = dict(restored) if not isinstance(restored, dict) else restored
+        flat = flatten_tree(
+            {k: restored[k] for k in ("params", "batch_stats") if k in restored}
+        )
+    else:
+        flat = load_npz_tree(ckpt_path)
+        if not any(k.startswith(("params/", "batch_stats/")) for k in flat):
+            # bare converted tree (backbone-only pretrain): params namespace
+            flat = {f"params/{k}": v for k, v in flat.items()}
+
+    new_vars, loaded, missed = graft_flat_params(variables, flat)
+    missed_params = [k for k in missed if k.startswith("params/")]
+    if missed_params:
+        raise ValueError(
+            f"checkpoint left {len(missed_params)} params at init: {missed_params[:5]}"
+        )
+    missed_stats = [k for k in missed if k.startswith("batch_stats/")]
+    if missed_stats:
+        raise ValueError(
+            f"checkpoint has no BN running stats for {len(missed_stats)} leaves "
+            f"(first: {missed_stats[:3]}) — exporting init stats would serve "
+            "wrong predictions; use a full train checkpoint"
+        )
+    return new_vars, len(loaded)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--config", help="recipe YAML; its model: block selects the network")
@@ -201,15 +240,7 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(0), (1, args.sizes[0], args.sizes[0], 3))
     loaded = 0
     if args.ckpt:
-        from ..train.hooks import graft_flat_params, load_npz_tree
-
-        flat = load_npz_tree(args.ckpt)
-        prefix = "params/" if any(k.startswith("params/") for k in flat) else ""
-        params, ok, missed = graft_flat_params(variables["params"], flat, prefix=prefix)
-        if missed:
-            raise ValueError(f"checkpoint left {len(missed)} params at init: {missed[:5]}")
-        variables = dict(variables, params=params)
-        loaded = len(ok)
+        variables, loaded = _load_checkpoint_variables(variables, args.ckpt)
 
     meta = export_bundle(
         model,

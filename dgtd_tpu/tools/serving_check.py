@@ -125,12 +125,13 @@ def check_diffusion(grid: int, c: int = 24, kernel: int = 7, steps: int = 4, ite
     )
 
     dtype = jnp.bfloat16
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     x_nhwc = jax.jit(
         lambda k: jax.random.uniform(k, (1, grid, grid, c), dtype)
     )(k1)
-    # normalize in fp32 blocks? value range is benign for bf16 random-walk
-    # normalization; generate bf16 directly to halve peak HBM
+    # generated + normalized directly in bf16 (halves peak HBM vs an fp32
+    # staging copy): uniform taps keep the random-walk sums in [k²/2 ± k²/4],
+    # far from bf16 precision trouble, and the bench only times the stencil
     w_nhwc = jax.jit(
         lambda k: normalize_affinity(
             jax.random.uniform(k, (1, grid, grid, c, kernel * kernel), dtype)

@@ -102,9 +102,14 @@ class ProfilerHook(Hook):
         step = runner.host_step
         out = self.out_dir or os.path.join(runner.work_dir, "profile")
         if not self._active and step == self.start_step:
+            # drain the async dispatch queue so the trace window covers
+            # exactly the next num_steps device steps (host_step can run
+            # ahead of the device between logger syncs)
+            jax.block_until_ready(runner.state.params)
             jax.profiler.start_trace(out)
             self._active = True
         elif self._active and step >= self.start_step + self.num_steps:
+            jax.block_until_ready(runner.state.params)
             jax.profiler.stop_trace()
             self._active = False
             runner.log({"profile": out, "step": step})
@@ -135,6 +140,19 @@ class CheckpointHook(Hook):
                 elif os.path.exists(old):
                     os.remove(old)
                 runner.log({"checkpoint_evicted": old})
+
+
+def flatten_tree(tree, prefix: tuple = ()) -> Dict[str, np.ndarray]:
+    """Nested dict tree -> flat {'a/b/c': np.ndarray}. The single source of
+    the npz flat-key format consumed by ``load_npz_tree``/``graft_flat_params``
+    (used by the trainer's npz checkpoint fallback and the serving exporter)."""
+    flat: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(flatten_tree(v, prefix + (str(k),)))
+    else:
+        flat["/".join(prefix)] = np.asarray(tree)
+    return flat
 
 
 def load_npz_tree(path: str) -> Dict[str, np.ndarray]:

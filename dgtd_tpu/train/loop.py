@@ -162,17 +162,15 @@ class Runner:
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(path, jax.device_get(self.state), force=True)
             ckptr.wait_until_finished()
-        else:  # flat npz fallback
-            flat = {}
+        else:  # flat npz fallback (params + BN running stats; no opt state)
+            from .hooks import flatten_tree
 
-            def visit(tree, p):
-                if isinstance(tree, dict):
-                    for k, v in tree.items():
-                        visit(v, p + (k,))
-                else:
-                    flat["/".join(p)] = np.asarray(tree)
-
-            visit({"params": jax.device_get(self.state.params)}, ())
+            flat = flatten_tree(
+                {
+                    "params": jax.device_get(self.state.params),
+                    "batch_stats": jax.device_get(self.state.batch_stats),
+                }
+            )
             np.savez(path + ".npz", **flat)
             path += ".npz"
         self.log({"checkpoint": path})
@@ -189,7 +187,10 @@ class Runner:
 
             flat = load_npz_tree(path)
             params, loaded, _ = graft_flat_params(self.state.params, flat, prefix="params/")
-            self.state = self.state.replace(params=params)
+            stats, _, _ = graft_flat_params(
+                self.state.batch_stats, flat, prefix="batch_stats/"
+            )
+            self.state = self.state.replace(params=params, batch_stats=stats)
         self.host_step = int(self.state.step)
         self.log({"restored": path})
 

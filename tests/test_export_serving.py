@@ -73,6 +73,39 @@ def test_loader_resizes_non_bucket_inputs(bundle):
     assert np.isfinite(prob).all()
 
 
+def test_checkpoint_graft_covers_batch_stats(bundle, tmp_path):
+    """Exporting a checkpoint must graft BN running stats, not just params —
+    init stats would silently corrupt served predictions."""
+    from dgtd_tpu.tools.export_serving import _load_checkpoint_variables
+    from dgtd_tpu.train.hooks import flatten_tree
+
+    _, _, variables, _ = bundle
+    trained = {
+        "params": jax.tree.map(lambda p: p + 1.0, variables["params"]),
+        "batch_stats": jax.tree.map(lambda s: s + 2.0, variables["batch_stats"]),
+    }
+    ckpt = str(tmp_path / "epoch_1.npz")
+    np.savez(ckpt, **{k: np.asarray(v) for k, v in flatten_tree(trained).items()})
+
+    loaded_vars, n = _load_checkpoint_variables(variables, ckpt)
+    assert n > 0
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded_vars["batch_stats"])[0]),
+        np.asarray(jax.tree.leaves(trained["batch_stats"])[0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded_vars["params"])[0]),
+        np.asarray(jax.tree.leaves(trained["params"])[0]),
+    )
+
+    # params-only checkpoint (e.g. a backbone pretrain) must refuse loudly
+    params_only = {k: v for k, v in flatten_tree({"params": trained["params"]}).items()}
+    ckpt2 = str(tmp_path / "params_only.npz")
+    np.savez(ckpt2, **{k: np.asarray(v) for k, v in params_only.items()})
+    with pytest.raises(ValueError, match="running stats"):
+        _load_checkpoint_variables(variables, ckpt2)
+
+
 def test_loader_needs_no_model_code(bundle):
     """The bundle must rebuild params from the npz alone — identical tree."""
     out, _, variables, _ = bundle

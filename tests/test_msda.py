@@ -87,11 +87,12 @@ def test_pallas_matches_reference(channels):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
 
 
-# channel widths follow the reference gradcheck matrix (twig/ops/test.py:108);
-# the >1k giants (which hit the reference's multi_blocks/gm CUDA backward
-# variants — ms_deform_im2col_cuda.cuh:923-1060 — and our channel-block
-# padding path) run as slow cases; lq=2 exercises heavy query-block padding
-# (q_block=128), lq=150 exercises multiple q blocks
+# channel widths follow the reference gradcheck matrix (twig/ops/test.py:108),
+# including the >1k giants that hit the reference's multi_blocks/gm CUDA
+# backward variants (ms_deform_im2col_cuda.cuh:923-1060) and our
+# channel-block padding path — cheap enough in interpret mode (~10 s each at
+# these tiny spatial/query sizes) to stay in the default suite; lq=2
+# exercises heavy query-block padding (q_block=128), lq=150 multiple q blocks
 @pytest.mark.parametrize(
     "channels,lq",
     [

@@ -107,6 +107,30 @@ def test_checkpoint_roundtrip(runner, tmp_path):
     np.testing.assert_allclose(np.asarray(before), np.asarray(after))
 
 
+def test_checkpoint_npz_fallback_keeps_batch_stats(runner, monkeypatch):
+    """The flat-npz fallback (no orbax) must round-trip BN running stats —
+    restoring params-only silently serves init statistics."""
+    from dgtd_tpu.train import loop as loop_mod
+
+    stats_leaves = jax.tree.leaves(runner.state.batch_stats)
+    assert stats_leaves, "smoke model should carry BN batch_stats"
+    p0 = jax.tree.leaves(runner.state.params)[0].copy()
+    s0 = stats_leaves[0].copy()
+
+    monkeypatch.setattr(loop_mod, "_HAS_ORBAX", False)
+    path = runner.save_checkpoint("ckpt_npz_test")
+    assert path.endswith(".npz")
+    runner.state = runner.state.replace(
+        params=jax.tree.map(lambda p: p + 1.0, runner.state.params),
+        batch_stats=jax.tree.map(lambda s: s + 2.0, runner.state.batch_stats),
+    )
+    runner.restore_checkpoint(path)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(runner.state.params)[0]), np.asarray(p0))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(runner.state.batch_stats)[0]), np.asarray(s0)
+    )
+
+
 @pytest.mark.slow
 def test_dqnet_variant_forward():
     from dgtd_tpu.models import DQnet
