@@ -171,43 +171,11 @@ def _resize_nhwc(x, size):
 
 
 def _load_checkpoint_variables(variables, ckpt_path: str):
-    """Graft a checkpoint into the FULL variables tree (params AND BN
-    batch_stats — serving with init running stats silently corrupts
-    predictions). Accepts an orbax checkpoint directory (the trainer's
-    primary format), the trainer's flat-npz fallback, or a
-    ``convert_ckpt full`` npz. Strict: every param leaf must be covered;
-    batch_stats must be covered whenever the model has any."""
-    from ..train.hooks import graft_flat_params, load_npz_tree
+    """Strict full-tree graft (params + BN batch_stats): see
+    ``train.hooks.load_variables_checkpoint``."""
+    from ..train.hooks import load_variables_checkpoint
 
-    if os.path.isdir(ckpt_path):
-        import orbax.checkpoint as ocp
-
-        from ..train.hooks import flatten_tree
-
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
-        restored = dict(restored) if not isinstance(restored, dict) else restored
-        flat = flatten_tree(
-            {k: restored[k] for k in ("params", "batch_stats") if k in restored}
-        )
-    else:
-        flat = load_npz_tree(ckpt_path)
-        if not any(k.startswith(("params/", "batch_stats/")) for k in flat):
-            # bare converted tree (backbone-only pretrain): params namespace
-            flat = {f"params/{k}": v for k, v in flat.items()}
-
-    new_vars, loaded, missed = graft_flat_params(variables, flat)
-    missed_params = [k for k in missed if k.startswith("params/")]
-    if missed_params:
-        raise ValueError(
-            f"checkpoint left {len(missed_params)} params at init: {missed_params[:5]}"
-        )
-    missed_stats = [k for k in missed if k.startswith("batch_stats/")]
-    if missed_stats:
-        raise ValueError(
-            f"checkpoint has no BN running stats for {len(missed_stats)} leaves "
-            f"(first: {missed_stats[:3]}) — exporting init stats would serve "
-            "wrong predictions; use a full train checkpoint"
-        )
+    new_vars, loaded, _ = load_variables_checkpoint(variables, ckpt_path, strict=True)
     return new_vars, len(loaded)
 
 

@@ -161,6 +161,46 @@ def load_npz_tree(path: str) -> Dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def load_variables_checkpoint(variables, ckpt_path: str, strict: bool = True):
+    """Graft a checkpoint into a FULL inference variables tree — params AND
+    BN ``batch_stats`` (loading params alone silently serves init running
+    stats). Accepts an orbax checkpoint directory (the trainer's primary
+    format), the trainer's flat-npz fallback, a ``convert_ckpt full`` npz,
+    or a bare converted tree (params namespace assumed).
+
+    ``strict``: every param leaf must be covered, and batch_stats must be
+    covered whenever the model has any. Returns (variables, loaded, missed).
+    """
+    if os.path.isdir(ckpt_path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+        restored = dict(restored) if not isinstance(restored, dict) else restored
+        flat = flatten_tree(
+            {k: restored[k] for k in ("params", "batch_stats") if k in restored}
+        )
+    else:
+        flat = load_npz_tree(ckpt_path)
+        if not any(k.startswith(("params/", "batch_stats/")) for k in flat):
+            flat = {f"params/{k}": v for k, v in flat.items()}
+
+    new_vars, loaded, missed = graft_flat_params(variables, flat)
+    if strict:
+        missed_params = [k for k in missed if k.startswith("params/")]
+        if missed_params:
+            raise ValueError(
+                f"checkpoint left {len(missed_params)} params at init: {missed_params[:5]}"
+            )
+        missed_stats = [k for k in missed if k.startswith("batch_stats/")]
+        if missed_stats:
+            raise ValueError(
+                f"checkpoint has no BN running stats for {len(missed_stats)} leaves "
+                f"(first: {missed_stats[:3]}) — serving init stats would produce "
+                "wrong predictions; use a full train checkpoint"
+            )
+    return new_vars, loaded, missed
+
+
 def graft_flat_params(params, flat: Dict[str, np.ndarray], prefix: str = "") -> tuple:
     """Copy flat 'a/b/c' arrays into a nested param tree (strict=False).
 

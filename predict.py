@@ -49,7 +49,7 @@ def main():
 
     from dgtd_tpu.core.registry import MODELS
     from dgtd_tpu.data.datasets import IMAGENET_MEAN, IMAGENET_STD
-    from dgtd_tpu.train.hooks import graft_flat_params, load_npz_tree
+    from dgtd_tpu.train.hooks import load_variables_checkpoint
 
     from dgtd_tpu.core.config import _parse_value
 
@@ -61,22 +61,25 @@ def main():
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16, **model_kwargs
     )
     variables = model.init(jax.random.PRNGKey(0), (1, args.size, args.size, 3))
-    params = jax.device_get(variables["params"])
-
-    if os.path.isdir(args.checkpoint):
-        import orbax.checkpoint as ocp
-
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.checkpoint))
-        src = restored.get("params", restored)
-        params = jax.tree.map(lambda tgt, s: np.asarray(s, tgt.dtype), params, src)
-        n_loaded = "all"
-    else:
-        flat = load_npz_tree(args.checkpoint)
-        prefix = "params/" if any(k.startswith("params/") for k in flat) else ""
-        params, loaded, missed = graft_flat_params(params, flat, prefix=prefix)
-        n_loaded = f"{len(loaded)} loaded / {len(missed)} missed"
-    print(f"checkpoint: {n_loaded}")
-    variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+    variables = {
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+    }
+    # full-tree graft: params AND BN running stats (params-only loading would
+    # silently serve init statistics). Lenient here — partial checkpoints
+    # (backbone pretrains) are a legitimate debugging input — but any missed
+    # leaves are printed.
+    variables, loaded, missed = load_variables_checkpoint(
+        variables, args.checkpoint, strict=False
+    )
+    print(f"checkpoint: {len(loaded)} loaded / {len(missed)} missed")
+    if missed:
+        stats_missed = sum(k.startswith("batch_stats/") for k in missed)
+        if stats_missed:
+            print(
+                f"  warning: {stats_missed} BN running-stat leaves left at init "
+                "(outputs will differ from the training-time model)"
+            )
 
     predict = jax.jit(lambda v, im, d: model.predict(v, im, d)[0])
 
