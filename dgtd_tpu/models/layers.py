@@ -300,7 +300,9 @@ class ChannelAttention(nn.Module):
         c = x.shape[-1]
         avg = jnp.mean(x, axis=(1, 2), keepdims=True)
         mx = jnp.max(x, axis=(1, 2), keepdims=True)
-        fc1 = Conv(c // 16, 1, use_bias=False, dtype=self.dtype)
+        # floor 1: identical to the reference for its c >= 16 configs; keeps
+        # tiny test configs free of zero-size (orbax-unsaveable) params
+        fc1 = Conv(max(1, c // 16), 1, use_bias=False, dtype=self.dtype)
         fc2 = Conv(c, 1, use_bias=False, dtype=self.dtype)
         out = fc2(nn.relu(fc1(avg))) + fc2(nn.relu(fc1(mx)))
         return nn.sigmoid(out)
@@ -332,7 +334,7 @@ class CALayer(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = Conv(c // self.reduction, 1, use_bias=self.use_bias, dtype=self.dtype)(y)
+        y = Conv(max(1, c // self.reduction), 1, use_bias=self.use_bias, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = Conv(c, 1, use_bias=self.use_bias, dtype=self.dtype)(y)
         y = nn.sigmoid(y)
@@ -369,9 +371,10 @@ class SAMFusion(nn.Module):
     @nn.compact
     def __call__(self, x_h, x_l):
         c = x_h.shape[-1]
-        fc_a = Dense(c // self.reduction, use_bias=False, init_scheme="torch", dtype=self.dtype)
+        squeeze = max(1, c // self.reduction)
+        fc_a = Dense(squeeze, use_bias=False, init_scheme="torch", dtype=self.dtype)
         fc_b = Dense(c, use_bias=False, init_scheme="torch", dtype=self.dtype)
-        fcw_a = Dense(c // self.reduction, use_bias=False, init_scheme="torch", dtype=self.dtype)
+        fcw_a = Dense(squeeze, use_bias=False, init_scheme="torch", dtype=self.dtype)
         fcw_b = Dense(1, use_bias=False, init_scheme="torch", dtype=self.dtype)
 
         def branch(x):

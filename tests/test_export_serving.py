@@ -106,6 +106,38 @@ def test_checkpoint_graft_covers_batch_stats(bundle, tmp_path):
         _load_checkpoint_variables(variables, ckpt2)
 
 
+def test_checkpoint_graft_from_orbax_dir(bundle, tmp_path):
+    """The trainer's primary checkpoint format (an orbax directory holding
+    the full TrainState) must load directly into the exporter."""
+    ocp = pytest.importorskip("orbax.checkpoint")
+    from dgtd_tpu.tools.export_serving import _load_checkpoint_variables
+
+    _, _, variables, _ = bundle
+    state = {
+        "step": np.int32(3),
+        "params": jax.device_get(jax.tree.map(lambda p: p + 1.0, variables["params"])),
+        "batch_stats": jax.device_get(
+            jax.tree.map(lambda s: s + 2.0, variables["batch_stats"])
+        ),
+        "opt_state": {"count": np.int32(3)},
+    }
+    path = str(tmp_path / "epoch_3")
+    ck = ocp.StandardCheckpointer()
+    ck.save(path, state, force=True)
+    ck.wait_until_finished()
+
+    loaded_vars, n = _load_checkpoint_variables(variables, path)
+    assert n > 0
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded_vars["params"])[0]),
+        np.asarray(jax.tree.leaves(state["params"])[0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded_vars["batch_stats"])[0]),
+        np.asarray(jax.tree.leaves(state["batch_stats"])[0]),
+    )
+
+
 def test_loader_needs_no_model_code(bundle):
     """The bundle must rebuild params from the npz alone — identical tree."""
     out, _, variables, _ = bundle
