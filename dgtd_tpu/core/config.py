@@ -41,16 +41,30 @@ def _parse_value(text: str) -> Any:
 
 
 def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
+    """Integer path segments address (and create) LIST entries, so
+    ``-o custom_hooks.0.type=our_init`` works on a recipe with no
+    custom_hooks block — matching the MMEngine/nest override surface."""
     parts = dotted_key.split(".")
     node = cfg
-    for p in parts[:-1]:
+    for p, nxt in zip(parts[:-1], parts[1:]):
+        empty: Any = [] if nxt.isdigit() else {}
         if isinstance(node, list):
-            node = node[int(p)]
+            i = int(p)
+            while len(node) <= i:
+                node.append(None)
+            if node[i] is None:
+                node[i] = empty
+            node = node[i]
         else:
-            node = node.setdefault(p, {})
+            if node.get(p) is None:
+                node[p] = empty
+            node = node[p]
     last = parts[-1]
     if isinstance(node, list):
-        node[int(last)] = value
+        i = int(last)
+        while len(node) <= i:
+            node.append(None)
+        node[i] = value
     else:
         node[last] = value
 

@@ -43,3 +43,26 @@ def test_train_cli_end_to_end(tmp_path):
     records = [json.loads(l) for l in open(log_path)]
     assert any("loss" in r for r in records), records
     assert any("COD/Smeasure" in r for r in records), records
+
+
+def test_set_dotted_creates_list_entries():
+    """Integer segments create/extend LISTS (``-o custom_hooks.0.type=...``
+    on a recipe with no custom_hooks block — MMEngine/nest override parity)."""
+    from dgtd_tpu.core.config import set_dotted
+
+    cfg = {}
+    set_dotted(cfg, "custom_hooks.0.type", "our_init")
+    set_dotted(cfg, "custom_hooks.0.val_ckpt", "/tmp/x")
+    set_dotted(cfg, "custom_hooks.1.type", "ProfilerHook")
+    assert cfg == {
+        "custom_hooks": [
+            {"type": "our_init", "val_ckpt": "/tmp/x"},
+            {"type": "ProfilerHook"},
+        ]
+    }
+    # existing lists still index in place
+    set_dotted(cfg, "custom_hooks.1.type", "LoggerHook")
+    assert cfg["custom_hooks"][1] == {"type": "LoggerHook"}
+    # nested list-in-list and plain dict paths unchanged
+    set_dotted(cfg, "a.b", 3)
+    assert cfg["a"] == {"b": 3}
