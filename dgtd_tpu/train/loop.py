@@ -200,6 +200,10 @@ class Runner:
         spe = steps_per_epoch or (len(self.train_loader) if self.train_loader else 1)
         self.host_step = int(self.state.step)
         self.epoch = self.host_step // max(spe, 1)
+        if self.train_loader is not None:
+            # continue the per-epoch shuffle stream instead of replaying
+            # epoch-0 order (epoch seeds the shuffle rng in DataLoader)
+            self.train_loader.epoch = self.epoch
         self.log({"resumed_at_epoch": self.epoch, "step": self.host_step})
 
     # ------------------------------------------------------------------

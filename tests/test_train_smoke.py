@@ -184,3 +184,26 @@ def test_training_is_deterministic(tmp_path_factory):
         r.train()
         losses.append(captured)
     assert losses[0] == losses[1], losses
+
+
+def test_loader_shuffle_stream_continues_on_resume():
+    """A resumed run must continue the per-epoch shuffle stream, not replay
+    epoch-0 order: the loader's epoch counter seeds the shuffle rng and
+    Runner.resume() fast-forwards it."""
+    from dgtd_tpu.data.datasets import SyntheticSODDataset
+    from dgtd_tpu.data.loader import DataLoader
+
+    def epoch_order(loader):
+        return list(loader._epoch_indices())
+
+    ds = SyntheticSODDataset(n=16, size=8)
+    a = DataLoader(ds, batch_size=4, shuffle=True, seed=7, device_put=False)
+    orders = []
+    for _ in range(3):  # epochs 0,1,2 of an uninterrupted run
+        orders.append(epoch_order(a))
+        a.epoch += 1
+
+    b = DataLoader(ds, batch_size=4, shuffle=True, seed=7, device_put=False)
+    b.epoch = 2  # what Runner.resume() does after restoring an epoch-2 ckpt
+    assert epoch_order(b) == orders[2]
+    assert orders[0] != orders[1] != orders[2]
