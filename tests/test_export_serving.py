@@ -138,6 +138,24 @@ def test_checkpoint_graft_from_orbax_dir(bundle, tmp_path):
     )
 
 
+def test_multiplatform_bundle(bundle, tmp_path):
+    """platforms=['cpu','tpu'] lowers ONE artifact for both backends; it must
+    load and run on the current (CPU) backend. (The same bundle was also
+    validated on the real chip — docs/SERVING.md.)"""
+    out = str(tmp_path / "multi")
+    _, model, variables, _ = bundle
+    meta = export_bundle(
+        model, variables, out, sizes=[48], platforms=["cpu", "tpu"]
+    )
+    assert meta["platforms"] == ["cpu", "tpu"]
+    serving = ServingModel.load(out)
+    rng = np.random.RandomState(2)
+    prob = serving(
+        rng.rand(1, 48, 48, 3).astype(np.float32), rng.rand(1, 48, 48, 1).astype(np.float32)
+    )
+    assert prob.shape == (1, 48, 48, 1) and np.isfinite(prob).all()
+
+
 def test_loader_needs_no_model_code(bundle):
     """The bundle must rebuild params from the npz alone — identical tree."""
     out, _, variables, _ = bundle
