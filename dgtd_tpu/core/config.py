@@ -45,13 +45,24 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
     ``-o custom_hooks.0.type=our_init`` works on a recipe with no
     custom_hooks block — matching the MMEngine/nest override surface."""
     parts = dotted_key.split(".")
+
+    def list_index(node, p):
+        i = int(p)
+        if i > len(node):
+            raise ValueError(
+                f"override '{dotted_key}': list index {i} skips entries "
+                f"(list has {len(node)}) — indices must be existing or "
+                "one-past-the-end"
+            )
+        return i
+
     node = cfg
     for p, nxt in zip(parts[:-1], parts[1:]):
         empty: Any = [] if nxt.isdigit() else {}
         if isinstance(node, list):
-            i = int(p)
-            while len(node) <= i:
-                node.append(None)
+            i = list_index(node, p)
+            if i == len(node):
+                node.append(empty)
             if node[i] is None:
                 node[i] = empty
             node = node[i]
@@ -61,10 +72,11 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
             node = node[p]
     last = parts[-1]
     if isinstance(node, list):
-        i = int(last)
-        while len(node) <= i:
-            node.append(None)
-        node[i] = value
+        i = list_index(node, last)
+        if i == len(node):
+            node.append(value)
+        else:
+            node[i] = value
     else:
         node[last] = value
 

@@ -174,15 +174,27 @@ def load_variables_checkpoint(variables, ckpt_path: str, strict: bool = True):
     if os.path.isdir(ckpt_path):
         import orbax.checkpoint as ocp
 
+        # restores the whole saved tree (incl. optimizer state for full train
+        # checkpoints — transient host RAM, dropped right below); a partial
+        # restore would need orbax transforms and isn't worth the coupling
         restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
         restored = dict(restored) if not isinstance(restored, dict) else restored
+        if not ({"params", "batch_stats"} & restored.keys()):
+            # bare params tree saved without the collection wrapper
+            restored = {"params": restored}
         flat = flatten_tree(
             {k: restored[k] for k in ("params", "batch_stats") if k in restored}
         )
     else:
         flat = load_npz_tree(ckpt_path)
-        if not any(k.startswith(("params/", "batch_stats/")) for k in flat):
-            flat = {f"params/{k}": v for k, v in flat.items()}
+        # three npz layouts exist: trainer fallback (params/ + batch_stats/
+        # prefixed), convert_ckpt full (BARE param keys + batch_stats/
+        # prefixed), bare converted pretrains (all bare). Normalize per-key:
+        # anything unprefixed is a param leaf.
+        flat = {
+            k if k.startswith(("params/", "batch_stats/")) else f"params/{k}": v
+            for k, v in flat.items()
+        }
 
     new_vars, loaded, missed = graft_flat_params(variables, flat)
     if strict:
@@ -251,6 +263,13 @@ class _PretrainInit(Hook):
         runner.log({"hook": type(self).__name__, "loaded": len(loaded), "from": path})
 
     def before_train(self, runner):
+        if getattr(runner, "resumed", False):
+            # --resume restored a full train checkpoint; re-grafting the
+            # ImageNet pretrains would overwrite the fine-tuned backbone.
+            # (The reference would replay its torch.load here — its hooks
+            # have no resume-awareness; documented delta.)
+            runner.log({"hook": type(self).__name__, "skip_pretrains": "resumed"})
+            return
         self._load(runner, self.backbone_ckpt, prefix="hitnet/backbone/")
         if self.convnext_ckpt:
             self._load(runner, self.convnext_ckpt, prefix="hitnet/prompt_encoder/encoder2/")

@@ -204,6 +204,9 @@ class Runner:
             # continue the per-epoch shuffle stream instead of replaying
             # epoch-0 order (epoch seeds the shuffle rng in DataLoader)
             self.train_loader.epoch = self.epoch
+        #: init hooks consult this: re-grafting ImageNet pretrains over a
+        #: resumed checkpoint would silently discard the fine-tuned backbone
+        self.resumed = True
         self.log({"resumed_at_epoch": self.epoch, "step": self.host_step})
 
     # ------------------------------------------------------------------

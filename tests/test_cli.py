@@ -66,3 +66,9 @@ def test_set_dotted_creates_list_entries():
     # nested list-in-list and plain dict paths unchanged
     set_dotted(cfg, "a.b", 3)
     assert cfg["a"] == {"b": 3}
+    # skipping indices must fail loudly, not leave None holes that crash
+    # hook construction later with an opaque TypeError
+    with pytest.raises(ValueError, match="skips entries"):
+        set_dotted({}, "custom_hooks.1.type", "ProfilerHook")
+    with pytest.raises(ValueError, match="skips entries"):
+        set_dotted({}, "foo.384.bar", "x")

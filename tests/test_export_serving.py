@@ -106,6 +106,35 @@ def test_checkpoint_graft_covers_batch_stats(bundle, tmp_path):
         _load_checkpoint_variables(variables, ckpt2)
 
 
+def test_checkpoint_graft_convert_ckpt_full_layout(bundle, tmp_path):
+    """``convert_ckpt full`` writes BARE param keys + ``batch_stats/``-
+    prefixed stats (mixed layout) — the loader must prefix-normalize per
+    key, not via an all-or-nothing heuristic (regression caught in review)."""
+    from dgtd_tpu.tools.export_serving import _load_checkpoint_variables
+    from dgtd_tpu.train.hooks import flatten_tree
+
+    _, _, variables, _ = bundle
+    trained_p = jax.tree.map(lambda p: p + 1.0, variables["params"])
+    trained_s = jax.tree.map(lambda s: s + 2.0, variables["batch_stats"])
+    flat = {k: np.asarray(v) for k, v in flatten_tree(trained_p).items()}  # BARE
+    flat.update(
+        {f"batch_stats/{k}": np.asarray(v) for k, v in flatten_tree(trained_s).items()}
+    )
+    ckpt = str(tmp_path / "full_layout.npz")
+    np.savez(ckpt, **flat)
+
+    loaded_vars, n = _load_checkpoint_variables(variables, ckpt)
+    assert n == len(jax.tree.leaves(variables))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded_vars["params"])[0]),
+        np.asarray(jax.tree.leaves(trained_p)[0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded_vars["batch_stats"])[0]),
+        np.asarray(jax.tree.leaves(trained_s)[0]),
+    )
+
+
 def test_checkpoint_graft_from_orbax_dir(bundle, tmp_path):
     """The trainer's primary checkpoint format (an orbax directory holding
     the full TrainState) must load directly into the exporter."""
@@ -135,6 +164,20 @@ def test_checkpoint_graft_from_orbax_dir(bundle, tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(loaded_vars["batch_stats"])[0]),
         np.asarray(jax.tree.leaves(state["batch_stats"])[0]),
+    )
+
+    # a bare params tree (saved without the collection wrapper) must still
+    # graft its params (lenient mode — predict.py's debugging input)
+    from dgtd_tpu.train.hooks import load_variables_checkpoint
+
+    bare = str(tmp_path / "bare_params")
+    ck.save(bare, state["params"], force=True)
+    ck.wait_until_finished()
+    vars3, loaded3, _ = load_variables_checkpoint(variables, bare, strict=False)
+    assert len(loaded3) == len(jax.tree.leaves(variables["params"]))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(vars3["params"])[0]),
+        np.asarray(jax.tree.leaves(state["params"])[0]),
     )
 
 

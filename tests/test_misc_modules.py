@@ -164,3 +164,31 @@ def test_checkpoint_max_keep(tmp_path):
         h.after_train_epoch(r)
     kept = sorted(f for f in os.listdir(tmp_path) if f.startswith("epoch_"))
     assert kept == ["epoch_3.npz", "epoch_4.npz"], kept
+
+
+def test_pretrain_init_skips_on_resume(tmp_path):
+    """--resume restores a full checkpoint; our_init.before_train must NOT
+    re-graft the ImageNet pretrains over the fine-tuned backbone (review
+    finding: real recipes would silently lose epochs of training)."""
+    from dgtd_tpu.train.hooks import our_init
+
+    calls = []
+    h = our_init(backbone_ckpt=str(tmp_path / "pvt.npz"))
+    h._load = lambda runner, path, prefix: calls.append(prefix)
+
+    class R:
+        resumed = True
+        records = []
+
+        def log(self, rec):
+            self.records.append(rec)
+
+    r = R()
+    h.before_train(r)
+    assert calls == []
+    assert any("skip_pretrains" in rec for rec in r.records)
+
+    r2 = R()
+    r2.resumed = False
+    h.before_train(r2)
+    assert calls and calls[0] == "hitnet/backbone/"
