@@ -31,7 +31,15 @@ except Exception:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", required=True, help="orbax dir or .npz")
+    ap.add_argument("--checkpoint", default=None, help="orbax dir or .npz")
+    ap.add_argument(
+        "--bundle",
+        default=None,
+        help="serve from an exported AOT bundle dir (tools/export_serving.py) "
+        "instead of building the model from code — mutually exclusive with "
+        "--checkpoint/--model; images run one at a time through the bundle's "
+        "resolution buckets",
+    )
     ap.add_argument("--image-dir", required=True)
     ap.add_argument("--depth-dir", default=None)
     ap.add_argument("--out-dir", required=True)
@@ -44,11 +52,18 @@ def main():
         help="model kwargs, e.g. -o variant=b0 -o convnext_depths=[1,1,2,1]",
     )
     args = ap.parse_args()
+    if bool(args.bundle) == bool(args.checkpoint):
+        ap.error("exactly one of --checkpoint or --bundle is required")
 
     from PIL import Image
 
-    from dgtd_tpu.core.registry import MODELS
     from dgtd_tpu.data.datasets import IMAGENET_MEAN, IMAGENET_STD
+
+    if args.bundle:
+        _run_bundle(args, Image, IMAGENET_MEAN, IMAGENET_STD)
+        return
+
+    from dgtd_tpu.core.registry import MODELS
     from dgtd_tpu.train.hooks import load_variables_checkpoint
 
     from dgtd_tpu.core.config import _parse_value
@@ -118,6 +133,36 @@ def main():
                 os.path.join(args.out_dir, f"{name}_output.png")
             )
         print(f"{min(start + args.batch, len(files))}/{len(files)}")
+
+
+def _run_bundle(args, Image, mean, std):
+    """Folder inference through an exported AOT bundle: no model code, one
+    image per call (bundles are exported at batch 1), native source sizes —
+    the bundle loader buckets/resizes internally."""
+    from dgtd_tpu.tools.export_serving import ServingModel
+
+    serving = ServingModel.load(args.bundle)
+    print(f"bundle: sizes {serving.sizes}, platforms {serving.meta.get('platforms')}")
+    files = sorted(os.listdir(args.image_dir))
+    depth_files = sorted(os.listdir(args.depth_dir)) if args.depth_dir else None
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, f in enumerate(files):
+        with Image.open(os.path.join(args.image_dir, f)) as im:
+            rgb = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        img = ((rgb - mean) / std)[None]
+        if depth_files:
+            with Image.open(os.path.join(args.depth_dir, depth_files[i])) as dm:
+                dep = np.asarray(
+                    dm.convert("L").resize(im.size, Image.BILINEAR), np.float32
+                )[None, ..., None] / 255.0
+        else:
+            dep = np.zeros(img.shape[:3] + (1,), np.float32)
+        prob = serving(img, dep)
+        name = os.path.splitext(f)[0]
+        Image.fromarray((np.clip(prob[0, ..., 0], 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(args.out_dir, f"{name}_output.png")
+        )
+        print(f"{i + 1}/{len(files)}")
 
 
 if __name__ == "__main__":
