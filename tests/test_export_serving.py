@@ -199,6 +199,32 @@ def test_multiplatform_bundle(bundle, tmp_path):
     assert prob.shape == (1, 48, 48, 1) and np.isfinite(prob).all()
 
 
+def test_predict_cli_bundle_mode(bundle, tmp_path):
+    """predict.py --bundle: folder inference through the exported bundle,
+    masks at native source sizes."""
+    import argparse
+
+    from PIL import Image
+
+    import predict as predict_cli
+    from dgtd_tpu.data.datasets import IMAGENET_MEAN, IMAGENET_STD
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (30, 40, 3), np.uint8)).save(img_dir / "a.jpg")
+    out_dir = tmp_path / "masks"
+    args = argparse.Namespace(
+        bundle=bundle[0],
+        image_dir=str(img_dir),
+        depth_dir=None,
+        out_dir=str(out_dir),
+    )
+    predict_cli._run_bundle(args, Image, IMAGENET_MEAN, IMAGENET_STD)
+    with Image.open(out_dir / "a_output.png") as m:
+        assert m.size == (40, 30)
+
+
 def test_loader_needs_no_model_code(bundle):
     """The bundle must rebuild params from the npz alone — identical tree."""
     out, _, variables, _ = bundle
