@@ -86,17 +86,23 @@ class FolderSODDataset:
 
     def _filter_files(self) -> None:
         assert len(self.images) == len(self.gts), (len(self.images), len(self.gts))
+        if len(self.depths) != len(self.images):
+            # sorted-order pairing (the reference convention) is only valid
+            # one-to-one; a partial depth dir would silently pair image i
+            # with the wrong depth map once anything is filtered
+            raise ValueError(
+                f"{type(self).__name__}: depth dir has {len(self.depths)} files "
+                f"for {len(self.images)} images — depth maps must pair 1:1 "
+                "(regenerate with tools/depth_gen.py)"
+            )
         keep_img, keep_gt, keep_d = [], [], []
-        depths = self.depths if len(self.depths) == len(self.images) else [None] * len(self.images)
-        for img_path, gt_path, d_path in zip(self.images, self.gts, depths):
+        for img_path, gt_path, d_path in zip(self.images, self.gts, self.depths):
             with Image.open(img_path) as img, Image.open(gt_path) as gt:
                 if img.size == gt.size:
                     keep_img.append(img_path)
                     keep_gt.append(gt_path)
                     keep_d.append(d_path)
-        self.images, self.gts = keep_img, keep_gt
-        if depths and depths[0] is not None:
-            self.depths = keep_d
+        self.images, self.gts, self.depths = keep_img, keep_gt, keep_d
 
     def __len__(self) -> int:
         return len(self.images)

@@ -125,8 +125,11 @@ class DataLoader:
             try:
                 for c in chunks:
                     q.put(self._make_batch(c))
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001
+                # surface the failure in the consumer — swallowing it would
+                # silently truncate the epoch (short training, wrong metrics)
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -134,4 +137,6 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

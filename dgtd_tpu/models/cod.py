@@ -120,7 +120,10 @@ class _SegModel:
         texture, stage_preds, pred2 = outputs
         loss = staged_losses(stage_preds, pred2, batch["label"])
         aux = {"loss_seg": loss}
-        if self.use_ssim:
+        if self.use_ssim and texture is not None:
+            # texture is None for prompt-less variants (use_prompts=False);
+            # the SSIM term has nothing to align then — skip instead of
+            # crashing at trace time
             l3 = texture_ssim_loss(texture, batch["input"])
             loss = loss + l3
             aux["loss_ssim"] = l3

@@ -135,6 +135,13 @@ class DQnet(_SegModel):
     use_ssim = False
     net_kwargs: dict = {}
 
+    #: reference-parity args accepted-and-ignored like cod's (cod.py:38-46)
+    _IGNORED = ("filter_ratio", "using_depth", "using_sam", "finetune", "binary_thresh", "pretrain_sam", "head")
+
     def __init__(self, win_size=None, dtype: Any = jnp.bfloat16, **kwargs):
         allowed = {k: v for k, v in kwargs.items() if k in ("variant", "channel", "cross_size")}
+        unknown = set(kwargs) - set(allowed) - set(self._IGNORED)
+        if unknown:
+            # silently dropping typo'd overrides would train a default model
+            raise TypeError(f"DQnet: unknown model args {sorted(unknown)}")
         self.net = DQnetNet(dtype=dtype, **allowed)

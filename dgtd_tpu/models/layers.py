@@ -302,7 +302,7 @@ class ChannelAttention(nn.Module):
         mx = jnp.max(x, axis=(1, 2), keepdims=True)
         # floor 1: identical to the reference for its c >= 16 configs; keeps
         # tiny test configs free of zero-size (orbax-unsaveable) params
-        fc1 = Conv(max(1, c // 16), 1, use_bias=False, dtype=self.dtype)
+        fc1 = Conv(max(1, c // self.reduction), 1, use_bias=False, dtype=self.dtype)
         fc2 = Conv(c, 1, use_bias=False, dtype=self.dtype)
         out = fc2(nn.relu(fc1(avg))) + fc2(nn.relu(fc1(mx)))
         return nn.sigmoid(out)

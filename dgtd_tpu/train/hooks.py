@@ -161,6 +161,30 @@ def load_npz_tree(path: str) -> Dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def graft_subtree(params, flat: Dict[str, np.ndarray], subtree: str) -> tuple:
+    """Graft SUBTREE-RELATIVE flat keys (a converted backbone/tower pretrain
+    npz, e.g. 'patch_embed1/Conv_0/Conv_0/kernel') into the node at
+    ``subtree`` (e.g. 'hitnet/backbone') of a full param tree.
+
+    This is the inverse addressing of ``graft_flat_params``'s ``prefix``
+    (which prefixes the NPZ keys, as in 'params/'-prefixed checkpoints):
+    here the MODEL keys carry the prefix and the npz keys do not.
+    Returns (new_params, loaded_keys, missed_keys).
+    """
+    parts = [p for p in subtree.strip("/").split("/") if p]
+    node = params
+    for p in parts:
+        node = node[p]
+    new_node, loaded, missed = graft_flat_params(node, flat)
+
+    def rebuild(tree, path):
+        if not path:
+            return new_node
+        return {**tree, path[0]: rebuild(tree[path[0]], path[1:])}
+
+    return rebuild(params, parts), loaded, missed
+
+
 def load_variables_checkpoint(variables, ckpt_path: str, strict: bool = True):
     """Graft a checkpoint into a FULL inference variables tree — params AND
     BN ``batch_stats`` (loading params alone silently serves init running
@@ -251,12 +275,20 @@ class _PretrainInit(Hook):
         if val_ckpt is not None:
             self.val_ckpt = val_ckpt
 
-    def _load(self, runner, path: str, prefix: str):
+    def _load(self, runner, path: str, subtree: str):
         if not path or not os.path.exists(path):
             runner.log({"hook": type(self).__name__, "skip_missing": path})
             return
         flat = load_npz_tree(path)
-        params, loaded, _ = graft_flat_params(runner.state.params, flat, prefix)
+        # pretrain npz keys are subtree-relative (converted pvt/convnext
+        # trees); graft them into the named subtree of the full param tree
+        params, loaded, _ = graft_subtree(runner.state.params, flat, subtree)
+        if not loaded:
+            raise ValueError(
+                f"{type(self).__name__}: 0 of {len(flat)} pretrain arrays from "
+                f"{path} matched under '{subtree}' — wrong checkpoint kind for "
+                "this hook? (convert with `convert_ckpt pvt|convnext`)"
+            )
         # grafted leaves are host arrays — restore the replicated mesh layout
         params = jax.device_put(params, runner.repl_sharding)
         runner.state = runner.state.replace(params=params)
@@ -270,9 +302,9 @@ class _PretrainInit(Hook):
             # have no resume-awareness; documented delta.)
             runner.log({"hook": type(self).__name__, "skip_pretrains": "resumed"})
             return
-        self._load(runner, self.backbone_ckpt, prefix="hitnet/backbone/")
+        self._load(runner, self.backbone_ckpt, subtree="hitnet/backbone")
         if self.convnext_ckpt:
-            self._load(runner, self.convnext_ckpt, prefix="hitnet/prompt_encoder/encoder2/")
+            self._load(runner, self.convnext_ckpt, subtree="hitnet/prompt_encoder/encoder2")
 
     def before_val(self, runner):
         if self.val_ckpt and os.path.exists(self.val_ckpt):

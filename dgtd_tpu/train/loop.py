@@ -66,7 +66,7 @@ class Runner:
             else None
         )
         self.val_loader = self._build_loader(cfg.get("val_dataloader"), train=False)
-        self.batch_size = cfg.get("train_dataloader", {}).get("batch_size", 1)
+        self.batch_size = (cfg.get("train_dataloader") or {}).get("batch_size", 1)
 
         # model/optimizer state
         rng = jax.random.PRNGKey(seed)
@@ -277,14 +277,22 @@ class Runner:
                 for m in self.metrics:
                     m.process_stats(stats)
                 continue
-            prob = self._eval_step(variables, batch["input"], batch["depth"])
+            if save_visualizations:
+                # one forward serves both the metrics and the texture extra
+                if not hasattr(self, "_eval_extras_step"):
+                    self._eval_extras_step = make_eval_step(self.model, with_extras=True)
+                prob, extras = self._eval_extras_step(
+                    variables, batch["input"], batch["depth"]
+                )
+            else:
+                prob, extras = self._eval_step(variables, batch["input"], batch["depth"]), None
             prob_np = np.asarray(jax.device_get(prob))
             label_np = np.asarray(jax.device_get(batch["label"]))
             n_images += prob_np.shape[0]
             for m in self.metrics:
                 m.process(prob_np, label_np)
             if save_visualizations:
-                self._dump_visualizations(vis_dir, batch, prob_np, variables)
+                self._dump_visualizations(vis_dir, batch, prob_np, extras)
         results: Dict[str, float] = {}
         for m in self.metrics:
             results.update(m.compute())
@@ -301,11 +309,12 @@ class Runner:
         self.log({"epoch": self.epoch, **{k: round(v, 5) for k, v in results.items()}})
         return results
 
-    def _dump_visualizations(self, vis_dir: str, batch, prob_np, variables=None) -> None:
+    def _dump_visualizations(self, vis_dir: str, batch, prob_np, extras=None) -> None:
         """Host-side PNG dumps of input/label/output/depth/diffusion-texture
         (reference predict side effects, cod.py:156-217: denormalized input,
         label, sigmoid output, contrast-enhanced texture map, depth) — all
-        outside the compiled path."""
+        outside the compiled path. ``extras`` comes from the SAME eval
+        forward that produced ``prob_np`` (no second forward)."""
         from PIL import Image as PILImage
 
         os.makedirs(vis_dir, exist_ok=True)
@@ -320,16 +329,10 @@ class Runner:
         input_np = np.asarray(jax.device_get(batch["input"]))
         label_np = np.asarray(jax.device_get(batch["label"]))
         depth_np = np.asarray(jax.device_get(batch["depth"]))
-        texture_np = None
-        if variables is not None:
-            try:
-                _, extras = self.model.predict(variables, batch["input"], batch["depth"])
-                tex = extras.get("texture")
-                # texture is None for prompt-less variants (reference baseline
-                # saves only input/label/output, baseline.py:180-185)
-                texture_np = None if tex is None else np.asarray(jax.device_get(tex))
-            except Exception:
-                texture_np = None
+        # texture is None for prompt-less variants (reference baseline saves
+        # only input/label/output, baseline.py:180-185)
+        tex = extras.get("texture") if extras else None
+        texture_np = None if tex is None else np.asarray(jax.device_get(tex))
         raws = batch.get("raw")
         for i in range(prob_np.shape[0]):
             if isinstance(raws, list) and isinstance(raws[i], str):

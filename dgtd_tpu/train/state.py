@@ -65,9 +65,13 @@ def make_train_step(model, tx) -> Callable:
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, with_extras: bool = False) -> Callable:
+    """``with_extras`` returns (prob, extras) from the SAME forward — the
+    visualization path needs the texture extra and must not pay a second
+    full forward for it."""
+
     def eval_step(variables, image, depth):
         prob, extras = model.predict(variables, image, depth)
-        return prob
+        return (prob, extras) if with_extras else prob
 
     return jax.jit(eval_step)

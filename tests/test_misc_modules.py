@@ -174,7 +174,7 @@ def test_pretrain_init_skips_on_resume(tmp_path):
 
     calls = []
     h = our_init(backbone_ckpt=str(tmp_path / "pvt.npz"))
-    h._load = lambda runner, path, prefix: calls.append(prefix)
+    h._load = lambda runner, path, subtree: calls.append(subtree)
 
     class R:
         resumed = True
@@ -191,4 +191,52 @@ def test_pretrain_init_skips_on_resume(tmp_path):
     r2 = R()
     r2.resumed = False
     h.before_train(r2)
-    assert calls and calls[0] == "hitnet/backbone/"
+    assert calls and calls[0] == "hitnet/backbone"
+
+
+def test_dataset_rejects_partial_depth_dir(tmp_path):
+    """Sorted-order depth pairing is only valid 1:1 — a partial depth dir
+    must fail loudly, not silently misalign after size filtering."""
+    import pytest
+    from PIL import Image
+    import numpy as _np
+
+    root = tmp_path / "ds"
+    for sub in ("Imgs", "GT", "Depth"):
+        os.makedirs(root / sub)
+    rng = _np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rng.rand(20, 20, 3) * 255).astype("uint8")).save(root / "Imgs" / f"x{i}.jpg")
+        Image.fromarray((rng.rand(20, 20) * 255).astype("uint8")).save(root / "GT" / f"x{i}.png")
+    # only 2 of 3 depth maps
+    for i in range(2):
+        Image.fromarray((rng.rand(20, 20) * 255).astype("uint8")).save(root / "Depth" / f"x{i}.png")
+
+    from dgtd_tpu.data.datasets import COD10K_CAMO_TRAIN
+
+    with pytest.raises(ValueError, match="pair 1:1"):
+        COD10K_CAMO_TRAIN(str(root), "Depth", "train", image_size=16)
+
+
+def test_loader_propagates_producer_errors():
+    """A failed batch must raise in the consumer, not silently truncate the
+    epoch (short training / wrong metrics with no error)."""
+    import pytest
+    from dgtd_tpu.data.loader import DataLoader
+
+    class Bad:
+        train_mode = False
+
+        def __len__(self):
+            return 6
+
+        def get(self, i, rng=None):
+            if i == 4:
+                raise OSError("corrupt image")
+            import numpy as _np
+
+            return {"input": _np.zeros((4, 4, 3), _np.float32)}
+
+    dl = DataLoader(Bad(), batch_size=2, device_put=False, prefetch=2)
+    with pytest.raises(OSError, match="corrupt image"):
+        list(dl)

@@ -207,3 +207,46 @@ def test_loader_shuffle_stream_continues_on_resume():
     b.epoch = 2  # what Runner.resume() does after restoring an epoch-2 ckpt
     assert epoch_order(b) == orders[2]
     assert orders[0] != orders[1] != orders[2]
+
+
+def test_pretrain_init_actually_grafts(runner, tmp_path):
+    """our_init must load converted pretrain npz files (subtree-relative
+    keys) into the backbone/tower subtrees. Review r3 found the original
+    prefix addressing grafted ZERO leaves — the flagship recipe silently
+    trained from random init; this drives the real hook on real trees."""
+    from dgtd_tpu.train.hooks import flatten_tree, our_init
+
+    backbone = runner.state.params["hitnet"]["backbone"]
+    tower = runner.state.params["hitnet"]["prompt_encoder"]["encoder2"]
+    bb_npz = tmp_path / "pvt.npz"
+    cx_npz = tmp_path / "convnext.npz"
+    np.savez(
+        bb_npz,
+        **{k: np.asarray(v) + 1.0 for k, v in flatten_tree(jax.device_get(backbone)).items()},
+    )
+    np.savez(
+        cx_npz,
+        **{k: np.asarray(v) + 2.0 for k, v in flatten_tree(jax.device_get(tower)).items()},
+    )
+
+    before_bb = np.asarray(jax.tree.leaves(backbone)[0]).copy()
+    before_tw = np.asarray(jax.tree.leaves(tower)[0]).copy()
+    h = our_init(backbone_ckpt=str(bb_npz), convnext_ckpt=str(cx_npz))
+    runner.resumed = False
+    h.before_train(runner)
+
+    after_bb = np.asarray(jax.tree.leaves(runner.state.params["hitnet"]["backbone"])[0])
+    after_tw = np.asarray(
+        jax.tree.leaves(runner.state.params["hitnet"]["prompt_encoder"]["encoder2"])[0]
+    )
+    np.testing.assert_allclose(after_bb, before_bb + 1.0)
+    np.testing.assert_allclose(after_tw, before_tw + 2.0)
+    # untouched subtrees stay intact
+    assert runner.state.params["hitnet"].get("translayer2_0") is not None
+    # a wrong-kind checkpoint (zero matches) fails loudly
+    wrong = tmp_path / "wrong.npz"
+    np.savez(wrong, **{"not/a/real/key": np.zeros((2,), np.float32)})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="0 of 1 pretrain arrays"):
+        our_init(backbone_ckpt=str(wrong), convnext_ckpt=None).before_train(runner)
