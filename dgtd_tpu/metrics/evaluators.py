@@ -64,9 +64,14 @@ class BaseSODMetric:
         """preds/gts: (B, H, W) or (B, H, W, 1) float arrays in [0, 1]."""
         preds = np.asarray(preds)
         gts = np.asarray(gts)
+        # normalize EACH rank independently: keying both off preds.ndim let
+        # mixed-rank inputs broadcast into silently-wrong metric values
         if preds.ndim == 4:
             preds = preds[..., 0]
+        if gts.ndim == 4:
             gts = gts[..., 0]
+        if preds.shape != gts.shape:
+            raise ValueError(f"pred/gt shape mismatch: {preds.shape} vs {gts.shape}")
         preds_u8 = (preds * 255).astype(np.uint8)
         gts_u8 = (gts * 255).astype(np.uint8)
         for p, g in zip(preds_u8, gts_u8):

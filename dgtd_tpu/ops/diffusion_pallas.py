@@ -24,19 +24,10 @@ Returns  (B, H, W, C).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-
-try:
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    _HAS_PLTPU = False
 
 
 def _stencil_kernel(x_ref, w_ref, out_ref, *, K: int, C: int, W: int, STRIP: int):
@@ -142,13 +133,20 @@ def _stencil_bwd_w_kernel(x_ref, g_ref, out_ref, *, K: int, W: int, STRIP: int):
         out_ref[0, t] = (g * xs.astype(jnp.float32)).astype(out_ref.dtype)
 
 
+def _pad_rows_to8(h: int) -> int:
+    """v2 strips need sublane (8-row) alignment; arbitrary H is handled by
+    zero-padding rows to the next multiple of 8 and slicing the result."""
+    return -(-h // 8) * 8
+
+
 def _bwd_strip(h: int, w: int, kernel: int) -> int:
-    strip = h
+    # h is pre-padded to a multiple of 8; if nothing fits the VMEM budget,
+    # fall back to the SMALLEST aligned strip (8) — never h, whose weights
+    # block at serving widths would be hundreds of MB and fail to compile
     for s in (64, 32, 16, 8):
         if h % s == 0 and kernel * kernel * (s + kernel - 1) * (w + kernel - 1) * 4 <= 4 * 2**20:
-            strip = s
-            break
-    return strip
+            return s
+    return 8
 
 
 def diffusion_step_bwd_pallas(
@@ -163,7 +161,13 @@ def diffusion_step_bwd_pallas(
     g (P, H, W) = dL/d(step output); x (P, H, W) = step input;
     w (P, k², H, W) normalized weights. Returns (dx, dw) in the same layouts.
     """
-    p, h, w = g_planes.shape
+    p, h0, w = g_planes.shape
+    h = _pad_rows_to8(h0)
+    if h != h0:
+        # zero rows beyond H contribute nothing (matches the zero halo)
+        g_planes = jnp.pad(g_planes, ((0, 0), (0, h - h0), (0, 0)))
+        x_planes = jnp.pad(x_planes, ((0, 0), (0, h - h0), (0, 0)))
+        w_planes = jnp.pad(w_planes, ((0, 0), (0, 0), (0, h - h0), (0, 0)))
     r = kernel // 2
     strip = _bwd_strip(h, w, kernel)
     g_pad = jnp.pad(g_planes, ((0, 0), (r, r), (r, r)))
@@ -206,6 +210,9 @@ def diffusion_step_bwd_pallas(
         out_shape=jax.ShapeDtypeStruct((p, kernel * kernel, h, w), g_planes.dtype),
         interpret=interpret,
     )(x_pad, g_planes)
+    if h != h0:
+        dx = dx[:, :h0]
+        dw = dw[:, :, :h0]
     return dx, dw
 
 
@@ -247,17 +254,22 @@ def diffusion_step_pallas_v2(
     x_planes: jnp.ndarray, w_planes: jnp.ndarray, kernel: int, interpret: bool = False
 ) -> jnp.ndarray:
     """One stencil step in plane layout: x (P, H, W), w (P, k², H, W)."""
-    p, h, w = x_planes.shape
+    p, h0, w = x_planes.shape
+    h = _pad_rows_to8(h0)
+    if h != h0:
+        x_planes = jnp.pad(x_planes, ((0, 0), (0, h - h0), (0, 0)))
+        w_planes = jnp.pad(w_planes, ((0, 0), (0, 0), (0, h - h0), (0, 0)))
     r = kernel // 2
-    # STRIP must be a multiple of 8 (sublane alignment of the slab load)
-    strip = h
+    # STRIP must be a multiple of 8 (sublane alignment of the slab load);
+    # fallback is the SMALLEST aligned strip, never h (VMEM blowup)
+    strip = 8
     for s in (64, 32, 16, 8):
         if h % s == 0 and kernel * kernel * s * w * 4 <= 4 * 2**20:
             strip = s
             break
     xp = jnp.pad(x_planes, ((0, 0), (r, r), (r, r)))
     kern = functools.partial(_stencil_kernel_v2, K=kernel, W=w, STRIP=strip)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(p, h // strip),
         in_specs=[
@@ -268,6 +280,7 @@ def diffusion_step_pallas_v2(
         out_shape=jax.ShapeDtypeStruct((p, h, w), x_planes.dtype),
         interpret=interpret,
     )(xp, w_planes)
+    return out if h == h0 else out[:, :h0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

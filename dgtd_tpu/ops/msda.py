@@ -35,20 +35,11 @@ jnp reference VJP exactly (tests/test_msda.py).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
-
-try:  # TPU-only import guard so CPU test runs can fall back to interpret mode
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    _HAS_PLTPU = False
 
 
 # ---------------------------------------------------------------------------
@@ -152,8 +143,19 @@ def _msda_level_kernel(v_ref, x_ref, y_ref, w_ref, acc_in_ref, out_ref, *, H, W,
         ry = jnp.where(hi == y0i, 1.0 - fy, 0.0) + jnp.where(hi == y0i + 1, fy, 0.0)
         cx = jnp.where(wi == x0i, 1.0 - fx, 0.0) + jnp.where(wi == x0i + 1, fx, 0.0)
         onehot = ry * cx * aw[:, None]  # (QB, H*W), 4 nonzeros per row
-        acc = acc + jnp.dot(onehot, v, preferred_element_type=jnp.float32)
+        # HIGHEST: default MXU precision rounds f32 inputs to bf16 passes
+        # (~1e-3 rel grad noise vs the full-f32 CUDA reference semantics)
+        acc = acc + jnp.dot(
+            onehot, v, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     out_ref[0] = acc_in_ref[0] + acc.astype(out_ref.dtype)
+
+
+def _to_npq(a, n, m, p, lq, lq_pad):
+    """(N, Lq, M, P) -> (N*M, P, Lq_pad) query-padded kernel layout."""
+    a = a.transpose(0, 2, 3, 1).reshape(n * m, p, lq)
+    return jnp.pad(a, ((0, 0), (0, 0), (0, lq_pad - lq)))
 
 
 def _round_up(a: int, b: int) -> int:
@@ -182,12 +184,7 @@ def ms_deform_attn_pallas_fwd(
         x = loc[..., 0] * wl - 0.5
         y = loc[..., 1] * hl - 0.5
         w = attention_weights[:, :, :, lid]  # (N, Lq, M, P)
-        # -> (N*M, P, Lq_pad)
-        def to_npq(a):
-            a = a.transpose(0, 2, 3, 1).reshape(n * m, p, lq)
-            return jnp.pad(a, ((0, 0), (0, 0), (0, lq_pad - lq)))
-
-        xq, yq, wq = to_npq(x), to_npq(y), to_npq(w)
+        xq, yq, wq = (_to_npq(a, n, m, p, lq, lq_pad) for a in (x, y, w))
         # out-of-image coords for padded queries: weight 0 keeps them inert
 
         kernel = functools.partial(_msda_level_kernel, H=hl, W=wl, D=d, P=p)
@@ -249,7 +246,8 @@ def _msda_dvalue_kernel(x_ref, y_ref, w_ref, g_ref, out_ref, *, H, W, D, P):
         cx = jnp.where(wi == x0i, 1.0 - fx, 0.0) + jnp.where(wi == x0i + 1, fx, 0.0)
         onehot = ry * cx * aw[:, None]  # (QB, H*W)
         acc = acc + jax.lax.dot_general(
-            onehot, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            onehot, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # onehotᵀ @ g -> (H*W, D)
     out_ref[0] = out_ref[0] + acc.astype(out_ref.dtype)
 
@@ -273,11 +271,7 @@ def ms_deform_attn_pallas_dvalue(
         y = loc[..., 1] * hl - 0.5
         w = attention_weights[:, :, :, lid]
 
-        def to_npq(a):
-            a = a.transpose(0, 2, 3, 1).reshape(n * m, p, lq)
-            return jnp.pad(a, ((0, 0), (0, 0), (0, lq_pad - lq)))
-
-        xq, yq, wq = to_npq(x), to_npq(y), to_npq(w)
+        xq, yq, wq = (_to_npq(a, n, m, p, lq, lq_pad) for a in (x, y, w))
         kernel = functools.partial(_msda_dvalue_kernel, H=hl, W=wl, D=d, P=p)
         dv = pl.pallas_call(
             kernel,
@@ -345,7 +339,10 @@ def _msda_dlocw_kernel(
         cxd = jnp.where(is_x1, 1.0, 0.0) - jnp.where(is_x0, 1.0, 0.0)
 
         def rowdot(mat):  # (QB, H*W) @ (H*W, D) then ⊙g reduce -> (QB,)
-            s = jnp.dot(mat, v, preferred_element_type=jnp.float32)
+            s = jnp.dot(
+                mat, v, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             return jnp.sum(s * g, axis=1)
 
         dw_ref[0, p_idx, :] = rowdot(ry * cx)
@@ -383,11 +380,7 @@ def ms_deform_attn_pallas_dlocw(
         y = loc[..., 1] * hl - 0.5
         w = attention_weights[:, :, :, lid]
 
-        def to_npq(a):
-            a = a.transpose(0, 2, 3, 1).reshape(n * m, p, lq)
-            return jnp.pad(a, ((0, 0), (0, 0), (0, lq_pad - lq)))
-
-        xq, yq, wq = to_npq(x), to_npq(y), to_npq(w)
+        xq, yq, wq = (_to_npq(a, n, m, p, lq, lq_pad) for a in (x, y, w))
         kernel = functools.partial(_msda_dlocw_kernel, H=hl, W=wl, D=d, P=p)
         pq_spec = pl.BlockSpec((1, p, q_block), lambda i, j: (i, 0, j))
         dx, dy, dw = pl.pallas_call(

@@ -53,7 +53,7 @@ def _local_step(x_halo: jnp.ndarray, norm_weight: jnp.ndarray, kernel: int, use_
     """
     r = kernel // 2
     if use_pallas:
-        from ..ops.diffusion_pallas import diffusion_step_pallas_v2, to_tap_major
+        from ..ops.diffusion_pallas import diffusion_step_pallas_v2
 
         b, hh, w, c = x_halo.shape
         xp = x_halo.transpose(0, 3, 1, 2).reshape(b * c, hh, w)
@@ -86,11 +86,22 @@ def spatial_diffusion(
     """Run ``steps`` stencil iterations with H sharded over ``mesh[axis]``.
 
     x: (B, H, W, C); norm_weight: (B, H, W, C, k²) (already normalized).
-    H must divide evenly by the axis size.
+    H must divide evenly by the axis size, and each shard must be at least
+    as tall as the halo radius (single-neighbor ppermute cannot source rows
+    from two shards away).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     r = kernel // 2
+    n_shards = mesh.shape[axis]
+    h = x.shape[1]
+    if h % n_shards != 0:
+        raise ValueError(f"H={h} must divide evenly over {n_shards} '{axis}' shards")
+    if h // n_shards < r:
+        raise ValueError(
+            f"shard height {h // n_shards} < halo radius {r} (kernel {kernel}): "
+            f"use fewer '{axis}' shards or a smaller kernel"
+        )
 
     def local_fn(x_local, w_local):
         for _ in range(steps):

@@ -103,3 +103,36 @@ def test_diffusion_pallas_v2_weight_gradients():
 
     gw_r = jax.grad(ref_loss)(nw)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
+
+
+def test_diffusion_pallas_v2_nonaligned_height():
+    """Arbitrary (non-multiple-of-8) H: the v2 kernels pad rows to sublane
+    alignment and slice back — review found the old fallback picked strip=h,
+    a VMEM blowup at serving widths (and wrong grids when h % strip != 0)."""
+    import jax
+
+    from dgtd_tpu.ops.diffusion_pallas import diffusion_pallas_v2
+
+    rng = np.random.RandomState(11)
+    k, steps, h, w, c = 7, 2, 12, 20, 3  # h=12, w=20: neither 8-aligned
+    x = jnp.asarray(rng.randn(1, h, w, c), jnp.float32)
+    nw = normalize_affinity(jnp.asarray(rng.rand(1, h, w, c, k * k), jnp.float32))
+    ref = x
+    for _ in range(steps):
+        ref = message_passing_step(ref, nw, k)
+    out = diffusion_pallas_v2(x, nw, k, steps, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        return lambda xw: jnp.sum(fn(xw[0], xw[1]) ** 2)
+
+    def ref_fn(xx, ww):
+        y = xx
+        for _ in range(steps):
+            y = message_passing_step(y, ww, k)
+        return y
+
+    gp = jax.grad(loss(lambda xx, ww: diffusion_pallas_v2(xx, ww, k, steps, True)))((x, nw))
+    gr = jax.grad(loss(ref_fn))((x, nw))
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-5)
