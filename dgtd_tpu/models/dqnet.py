@@ -15,6 +15,13 @@ so the variant crashes if run. This implementation restores the evident
 intent: ``prompt_i = shared_mlp(lightweight_mlp_i(depth_adapter(cues)))``.
 The reference's train-time matplotlib depth dumps (dqnet.py:122-128) are
 host-side concerns and intentionally omitted from the compiled path.
+
+Structure note: ``DQnetNet`` repeats HitNet's decoder stanza (translayers,
+4-iter CFM loop, SAM fusion) rather than parameterizing ``HitNet`` with an
+injectable prompt source. This mirrors the reference's own organization
+(three sibling model files sharing the decoder) and keeps each variant's
+param tree flat and converter-stable; the duplicated stanza is ~45 lines
+and pinned against the same oracle tests as HitNet's.
 """
 
 from __future__ import annotations
