@@ -91,10 +91,15 @@ class _SegModel:
         pretrain_sam: Optional[str] = None,
         head: Optional[object] = None,
         dtype: Any = jnp.bfloat16,
+        use_ssim: Optional[bool] = None,
         **overrides,
     ):
         # reference-parity: the recipe's model args are accepted and unused
         # (cod.py:38-46); explicit diffusion overrides are honored.
+        # ``use_ssim`` reproduces the reference's deleted cod_no_ssim
+        # ablation variant as a config field (docs/ABLATIONS.md).
+        if use_ssim is not None:
+            self.use_ssim = bool(use_ssim)
         kwargs = dict(self.net_kwargs)
         kwargs.update(overrides)
         self.net = CODNet(dtype=dtype, **kwargs)

@@ -60,3 +60,43 @@ def test_recipe_builds_runner(tmp_path, recipe, train_sub, val_sub):
     assert runner.max_epochs == (100 if recipe == "cod.yml" else 50)
     # optimizer built with recipe lr-mult custom keys
     assert runner.tx is not None
+
+
+@pytest.mark.slow
+def test_ablation_axes_overrides():
+    """The reference's deleted ablation variants are config fields
+    (docs/ABLATIONS.md): one compile covers the edge axes — pure_hitnet
+    (use_prompts=false) + no_propagation (steps=0) + cod_no_ssim
+    (use_ssim=false)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgtd_tpu.core.registry import MODELS
+
+    m = MODELS.build(
+        {
+            "type": "cod",
+            "dtype": jnp.float32,
+            "use_ssim": False,
+            "use_prompts": False,
+            "diffusion_steps": 0,
+            "variant": "tiny",
+            "convnext_dims": [8, 16, 32, 64],
+            "convnext_depths": [1, 1, 1, 1],
+            "channel": 8,
+            "latent_dim": 8,
+            "grid": 8,
+            "refine_iters": 1,
+        }
+    )
+    assert m.use_ssim is False
+    v = m.init(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    batch = {
+        "input": jnp.zeros((1, 32, 32, 3)),
+        "depth": jnp.zeros((1, 32, 32, 1)),
+        "label": jnp.zeros((1, 32, 32, 1)),
+    }
+    loss, (aux, _) = m.loss(v, batch, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert "loss_ssim" not in aux and float(loss) > 0
+    # the class default is untouched by the instance override
+    assert MODELS.get("cod").use_ssim is True
