@@ -43,11 +43,23 @@ def _parse_value(text: str) -> Any:
 def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
     """Integer path segments address (and create) LIST entries, so
     ``-o custom_hooks.0.type=our_init`` works on a recipe with no
-    custom_hooks block — matching the MMEngine/nest override surface."""
+    custom_hooks block — matching the MMEngine/nest override surface.
+
+    Numeric segments under a MISSING parent create a fresh list only when
+    they look like a small list index (< 10 — and only index 0 can actually
+    land, larger ones fail the hole check below); large numeric segments
+    (``-o sizes.384.bs=8``) create DICT keys instead, so numeric config keys
+    stay addressable. Numeric keys into an EXISTING dict always work."""
     parts = dotted_key.split(".")
 
     def list_index(node, p):
-        i = int(p)
+        try:
+            i = int(p)
+        except ValueError:
+            raise ValueError(
+                f"override '{dotted_key}': segment {p!r} addresses a LIST "
+                f"(length {len(node)}) and must be an integer index"
+            ) from None
         if i > len(node):
             raise ValueError(
                 f"override '{dotted_key}': list index {i} skips entries "
@@ -58,7 +70,7 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
 
     node = cfg
     for p, nxt in zip(parts[:-1], parts[1:]):
-        empty: Any = [] if nxt.isdigit() else {}
+        empty: Any = [] if nxt.isdigit() and int(nxt) < 10 else {}
         if isinstance(node, list):
             i = list_index(node, p)
             if i == len(node):

@@ -211,6 +211,16 @@ def main(argv=None):
         except (OSError, ValueError) as e:
             print(f"skip {fname}: {e}")
             continue
+        # Resize the FLOAT depth back to the source size BEFORE rendering:
+        # bilinear blending of colormapped uint8 RGB is not monotonic in the
+        # magma_r ramp, so resizing after quantization would make the
+        # grayscale values datasets re-read diverge from the true depths.
+        if (depth.shape[1], depth.shape[0]) != size:
+            depth = np.asarray(
+                Image.fromarray(depth.astype(np.float32), mode="F").resize(
+                    size, Image.BILINEAR
+                )
+            )
         if args.render == "magma":
             out_img = Image.fromarray(render_depth(depth))
         else:
@@ -218,8 +228,6 @@ def main(argv=None):
             out_img = Image.fromarray(
                 ((depth - lo) / (hi - lo + 1e-12) * 255).astype(np.uint8)
             )
-        if out_img.size != size:
-            out_img = out_img.resize(size, Image.BILINEAR)
         name = os.path.splitext(fname)[0]
         out_img.save(os.path.join(args.out_dir, name + args.suffix))
         written += 1

@@ -97,21 +97,31 @@ class ProfilerHook(Hook):
         self.num_steps = num_steps
         self.out_dir = out_dir
         self._active = False
+        self._done = False
+        self._started_at = None
 
     def after_train_iter(self, runner, metrics):
+        if self._done:
+            return
         step = runner.host_step
         out = self.out_dir or os.path.join(runner.work_dir, "profile")
-        if not self._active and step == self.start_step:
+        # >= (not ==): a resumed run whose restored step already passed
+        # start_step still traces the NEXT num_steps instead of never firing
+        if not self._active and step >= self.start_step:
             # drain the async dispatch queue so the trace window covers
             # exactly the next num_steps device steps (host_step can run
             # ahead of the device between logger syncs)
             jax.block_until_ready(runner.state.params)
             jax.profiler.start_trace(out)
             self._active = True
-        elif self._active and step >= self.start_step + self.num_steps:
+            self._started_at = step
+            if step != self.start_step:
+                runner.log({"profile_started_late": step, "configured": self.start_step})
+        elif self._active and step >= self._started_at + self.num_steps:
             jax.block_until_ready(runner.state.params)
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
             runner.log({"profile": out, "step": step})
 
 
@@ -173,7 +183,13 @@ def graft_subtree(params, flat: Dict[str, np.ndarray], subtree: str) -> tuple:
     """
     parts = [p for p in subtree.strip("/").split("/") if p]
     node = params
-    for p in parts:
+    for depth, p in enumerate(parts):
+        if not isinstance(node, dict) or p not in node:
+            have = sorted(node.keys())[:8] if isinstance(node, dict) else type(node).__name__
+            raise ValueError(
+                f"graft_subtree: param tree has no node '{'/'.join(parts[: depth + 1])}' "
+                f"(available at that level: {have}) — wrong subtree for this model?"
+            )
         node = node[p]
     new_node, loaded, missed = graft_flat_params(node, flat)
 
@@ -266,6 +282,10 @@ class _PretrainInit(Hook):
     backbone_ckpt = "pretrain/pvt_v2_b2.npz"
     convnext_ckpt: Optional[str] = "pretrain/convnext_base_22k_224.npz"
     val_ckpt: Optional[str] = None
+    #: where the PVT backbone lives in the model's param tree — cod/baseline
+    #: nest it under Hitnet; DQnet's backbone is top-level (dqnet.py:161-208)
+    backbone_subtree = "hitnet/backbone"
+    convnext_subtree = "hitnet/prompt_encoder/encoder2"
 
     def __init__(self, backbone_ckpt=None, convnext_ckpt=None, val_ckpt=None):
         if backbone_ckpt is not None:
@@ -302,9 +322,9 @@ class _PretrainInit(Hook):
             # have no resume-awareness; documented delta.)
             runner.log({"hook": type(self).__name__, "skip_pretrains": "resumed"})
             return
-        self._load(runner, self.backbone_ckpt, subtree="hitnet/backbone")
+        self._load(runner, self.backbone_ckpt, subtree=self.backbone_subtree)
         if self.convnext_ckpt:
-            self._load(runner, self.convnext_ckpt, subtree="hitnet/prompt_encoder/encoder2")
+            self._load(runner, self.convnext_ckpt, subtree=self.convnext_subtree)
 
     def before_val(self, runner):
         if self.val_ckpt and os.path.exists(self.val_ckpt):
@@ -326,6 +346,9 @@ class baseline_init(_PretrainInit):
 @export
 @HOOKS.register
 class PretrainInitHook(_PretrainInit):
-    """DQnet init hook — backbone only (dqnet.py:161-208)."""
+    """DQnet init hook — backbone only (dqnet.py:161-208). DQnetNet's PVT
+    backbone is a TOP-LEVEL 'backbone' node (no Hitnet wrapper) and DQnet
+    has no ConvNeXt tower, so neither cod-shaped graft applies."""
 
+    backbone_subtree = "backbone"
     convnext_ckpt = None

@@ -99,7 +99,7 @@ def main():
     predict = jax.jit(lambda v, im, d: model.predict(v, im, d)[0])
 
     files = sorted(os.listdir(args.image_dir))
-    depth_files = sorted(os.listdir(args.depth_dir)) if args.depth_dir else None
+    depth_files = _paired_depth_files(files, args.depth_dir)
     os.makedirs(args.out_dir, exist_ok=True)
 
     def load(path, mode, norm):
@@ -135,6 +135,22 @@ def main():
         print(f"{min(start + args.batch, len(files))}/{len(files)}")
 
 
+def _paired_depth_files(files, depth_dir):
+    """Sorted depth listing, validated 1:1 against the image listing — the
+    same misalignment class FolderSODDataset._filter_files rejects. Depths
+    pair by sorted index, so a count mismatch means silent mispairing."""
+    if not depth_dir:
+        return None
+    depth_files = sorted(os.listdir(depth_dir))
+    if len(depth_files) != len(files):
+        raise SystemExit(
+            f"--depth-dir has {len(depth_files)} files but the image dir has "
+            f"{len(files)} — depths pair to images by sorted order, so the "
+            "counts must match exactly (e.g. one *_depth.png per image)"
+        )
+    return depth_files
+
+
 def _run_bundle(args, Image, mean, std):
     """Folder inference through an exported AOT bundle: no model code, one
     image per call (bundles are exported at batch 1), native source sizes —
@@ -144,7 +160,7 @@ def _run_bundle(args, Image, mean, std):
     serving = ServingModel.load(args.bundle)
     print(f"bundle: sizes {serving.sizes}, platforms {serving.meta.get('platforms')}")
     files = sorted(os.listdir(args.image_dir))
-    depth_files = sorted(os.listdir(args.depth_dir)) if args.depth_dir else None
+    depth_files = _paired_depth_files(files, args.depth_dir)
     os.makedirs(args.out_dir, exist_ok=True)
     for i, f in enumerate(files):
         with Image.open(os.path.join(args.image_dir, f)) as im:

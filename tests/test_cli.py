@@ -70,5 +70,70 @@ def test_set_dotted_creates_list_entries():
     # hook construction later with an opaque TypeError
     with pytest.raises(ValueError, match="skips entries"):
         set_dotted({}, "custom_hooks.1.type", "ProfilerHook")
-    with pytest.raises(ValueError, match="skips entries"):
-        set_dotted({}, "foo.384.bar", "x")
+    # LARGE numeric segments under a missing parent are dict keys, not list
+    # indices — numeric config keys like sizes.384 stay addressable
+    cfg2 = {}
+    set_dotted(cfg2, "foo.384.bar", "x")
+    assert cfg2 == {"foo": {"384": {"bar": "x"}}}
+    # numeric keys into an EXISTING dict always address the dict
+    cfg3 = {"sizes": {"384": {"bs": 4}}}
+    set_dotted(cfg3, "sizes.384.bs", 8)
+    assert cfg3["sizes"]["384"]["bs"] == 8
+    # a non-integer segment addressing an existing list names the key in its
+    # error instead of a bare int() ValueError
+    with pytest.raises(ValueError, match="must be an integer index"):
+        set_dotted({"xs": [1, 2]}, "xs.abc", 3)
+
+
+def test_depth_gen_resizes_depth_before_colormap(tmp_path):
+    """--render magma + --long-side: the FLOAT depth must be resized back to
+    source size before colormapping (advisor r2: bilinear blending of the
+    colormapped RGB is not monotonic in the magma_r ramp). Colormap-last
+    means every output pixel is an exact palette entry; resize-after-colormap
+    produces blended off-ramp colors."""
+    import matplotlib
+    import numpy as np
+    from PIL import Image
+
+    from dgtd_tpu.tools.depth_gen import main
+
+    img_dir = tmp_path / "imgs"
+    out_dir = tmp_path / "out"
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(30, 40, 3) * 255).astype(np.uint8)).save(img_dir / "a.jpg")
+    main([
+        "--image-dir", str(img_dir), "--out-dir", str(out_dir),
+        "--estimator", "sobel", "--render", "magma", "--long-side", "16",
+    ])
+    out = np.asarray(Image.open(out_dir / "a_depth.png"))
+    assert out.shape == (30, 40, 3)  # resized back to source size
+    palette = set(
+        map(tuple, matplotlib.colormaps["magma_r"](np.linspace(0, 1, 256), bytes=True)[:, :3])
+    )
+    pixels = set(map(tuple, out.reshape(-1, 3)))
+    off_ramp = pixels - palette
+    assert not off_ramp, f"{len(off_ramp)} blended off-palette colors: {sorted(off_ramp)[:5]}"
+
+    # gray render path too: output back at source size
+    main([
+        "--image-dir", str(img_dir), "--out-dir", str(tmp_path / "gray"),
+        "--estimator", "sobel", "--render", "gray", "--long-side", "16",
+    ])
+    g = np.asarray(Image.open(tmp_path / "gray" / "a_depth.png"))
+    assert g.shape == (30, 40)
+
+
+def test_predict_rejects_mismatched_depth_dir(tmp_path):
+    """predict.py pairs depths to images by sorted index — a count mismatch
+    must fail loudly instead of silently mispairing (advisor r2)."""
+    import pytest as _pytest
+
+    import predict as predict_mod
+
+    depth_dir = tmp_path / "depth"
+    os.makedirs(depth_dir)
+    (depth_dir / "only_one.png").write_bytes(b"x")
+    with _pytest.raises(SystemExit, match="pair to images by sorted order"):
+        predict_mod._paired_depth_files(["a.jpg", "b.jpg"], str(depth_dir))
+    assert predict_mod._paired_depth_files(["a.jpg"], None) is None

@@ -194,6 +194,87 @@ def test_pretrain_init_skips_on_resume(tmp_path):
     assert calls and calls[0] == "hitnet/backbone"
 
 
+def test_pretrain_init_dqnet_subtree(tmp_path):
+    """PretrainInitHook must graft into DQnet's TOP-LEVEL 'backbone' node
+    (DQnetNet has no 'hitnet' wrapper) — advisor r2 found the inherited
+    cod-shaped subtree raised KeyError, breaking DQnet pretrained init.
+    A cod-shaped hook on a DQnet tree must fail with a descriptive error."""
+    import numpy as _np
+    import pytest
+    from dgtd_tpu.parallel.mesh import make_mesh, replicated
+    from dgtd_tpu.train.hooks import PretrainInitHook, flatten_tree, our_init
+
+    dqnet_params = {
+        "backbone": {"w": jnp.zeros((3,), jnp.float32)},
+        "head": {"w": jnp.zeros((2,), jnp.float32)},
+    }
+    npz = tmp_path / "pvt.npz"
+    _np.savez(npz, **{k: _np.asarray(v) + 1.0 for k, v in flatten_tree(jax.device_get(dqnet_params["backbone"])).items()})
+
+    class State:
+        def __init__(self, params):
+            self.params = params
+
+        def replace(self, params):
+            return State(params)
+
+    class R:
+        resumed = False
+        records = []
+        mesh = make_mesh(data=1, space=1, devices=jax.devices()[:1])
+        repl_sharding = replicated(mesh)
+
+        def __init__(self):
+            self.state = State(dqnet_params)
+
+        def log(self, rec):
+            self.records.append(rec)
+
+    r = R()
+    PretrainInitHook(backbone_ckpt=str(npz)).before_train(r)
+    _np.testing.assert_allclose(_np.asarray(r.state.params["backbone"]["w"]), 1.0)
+    _np.testing.assert_allclose(_np.asarray(r.state.params["head"]["w"]), 0.0)
+
+    # cod-shaped our_init on the DQnet tree: descriptive error, not KeyError
+    r2 = R()
+    with pytest.raises(ValueError, match="no node 'hitnet'"):
+        our_init(backbone_ckpt=str(npz), convnext_ckpt=None).before_train(r2)
+
+
+def test_profiler_hook_fires_on_resume(tmp_path, monkeypatch):
+    """A resumed run whose restored step already passed start_step must still
+    trace the next num_steps (advisor r2: == comparison silently never fired)."""
+    from dgtd_tpu.train.hooks import ProfilerHook
+
+    events = []
+    monkeypatch.setattr(jax.profiler, "start_trace", lambda out: events.append(("start", out)))
+    monkeypatch.setattr(jax.profiler, "stop_trace", lambda: events.append(("stop",)))
+
+    class S:
+        params = jnp.zeros((1,))
+
+    class R:
+        work_dir = str(tmp_path)
+        state = S()
+        records = []
+
+        def log(self, rec):
+            self.records.append(rec)
+
+    r = R()
+    h = ProfilerHook(start_step=10, num_steps=2)
+    for step in range(50, 56):  # resumed far past start_step
+        r.host_step = step
+        h.after_train_iter(r, {})
+    assert [e[0] for e in events] == ["start", "stop"]
+    assert any("profile_started_late" in rec for rec in r.records)
+    # one-shot: no second trace later
+    for step in range(56, 60):
+        r.host_step = step
+        h.after_train_iter(r, {})
+    assert [e[0] for e in events] == ["start", "stop"]
+
+
 def test_dataset_rejects_partial_depth_dir(tmp_path):
     """Sorted-order depth pairing is only valid 1:1 — a partial depth dir
     must fail loudly, not silently misalign after size filtering."""
