@@ -104,6 +104,20 @@ class _SegModel:
         kwargs.update(overrides)
         self.net = CODNet(dtype=dtype, **kwargs)
 
+    @property
+    def frozen_param_prefixes(self) -> tuple:
+        """Param-path prefixes the forward never touches — torch-DDP
+        ``find_unused_parameters=True`` leaves their grads ``None`` so AdamW
+        skips them entirely (PARITY.md delta 13). The optimizer zeroes their
+        updates (train/optim.py::freeze_updates) so they stay bit-identical
+        to init, like the reference. Only ``baseline`` has such params: its
+        diffusion modules exist in the tree (checkpoint-key parity) but the
+        injection path is dead (baseline.py:1436-1473)."""
+        net = self.net
+        if net.use_prompts and not net.inject_prompts:
+            return ("hitnet/prompt_encoder", "hitnet/prompt_decoder")
+        return ()
+
     def init(self, rng, image_shape=(1, 384, 384, 3)):
         image = jnp.zeros(image_shape, jnp.float32)
         depth = jnp.zeros(image_shape[:3] + (1,), jnp.float32)

@@ -95,6 +95,9 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..parallel.mesh import spatial_constraint
+
+        x = spatial_constraint(x)
         in_ch = x.shape[-1]
         if self.init_scheme == "pvt":
             kinit = pvt_conv_kernel_init
@@ -102,7 +105,7 @@ class Conv(nn.Module):
         else:
             kinit = torch_default_kernel_init
             binit = make_torch_bias_init((in_ch // self.groups) * self.kernel * self.kernel)
-        return nn.Conv(
+        y = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -115,6 +118,7 @@ class Conv(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        return spatial_constraint(y)
 
 
 class _PlaneConv1x1Inner(nn.Module):
@@ -198,14 +202,20 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         from ..core import flags
+        from ..parallel.mesh import spatial_constraint
 
+        # anchor input AND output sharding under a 2-D data×space mesh (exact
+        # no-op otherwise) — see parallel/mesh.py::spatial_constraint
+        x = spatial_constraint(x)
         if flags.use_pallas_layernorm and jax.default_backend() == "tpu":
             # child named LayerNorm_0 so the param tree (and checkpoint
             # mapping) is identical to the flax path
-            return _PallasLN(eps=self.eps, dtype=self.dtype, name="LayerNorm_0")(x)
-        return nn.LayerNorm(
-            epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32
-        )(x)
+            y = _PallasLN(eps=self.eps, dtype=self.dtype, name="LayerNorm_0")(x)
+        else:
+            y = nn.LayerNorm(
+                epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32
+            )(x)
+        return spatial_constraint(y)
 
 
 class _PallasLN(nn.Module):

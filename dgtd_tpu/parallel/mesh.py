@@ -17,6 +17,7 @@ Axes:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -53,3 +54,72 @@ def initialize_multihost(coordinator: Optional[str] = None) -> None:
     """Multi-host (DCN) initialization; no-op in single-process runs."""
     if jax.process_count() > 1 or coordinator:
         jax.distributed.initialize(coordinator_address=coordinator)
+
+
+# ---------------------------------------------------------------------------
+# Ambient-mesh activation constraints (2-D data×space sharding)
+# ---------------------------------------------------------------------------
+
+#: Mesh made visible to model code while TRACING a sharded step. Model
+#: modules call :func:`spatial_constraint` on activations; with no active
+#: mesh (single-chip, tests, serving export) it is an exact no-op, so the
+#: constraint surface costs nothing outside the sharded train path.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+@contextlib.contextmanager
+def active_mesh(mesh: Optional[Mesh]):
+    """Make ``mesh`` visible to :func:`spatial_constraint` while tracing.
+
+    Only tracing needs the context (the constraint is baked into the jaxpr);
+    execution does not.
+    """
+    global _ACTIVE_MESH
+    old = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = old
+
+
+def spatial_constraint(x):
+    """Constrain a (B, H, ..., C) or (B, N, C) activation to
+    ``P('data', 'space')`` under an active 2-D mesh; identity otherwise.
+
+    Without explicit constraints the partitioner must guess shardings for
+    every intermediate of the data×space train step, and on the backward
+    pass it invents degenerate size-1-dim tile assignments for bias/scale
+    gradient partial sums, falling back to "involuntary full
+    rematerialization" (replicate + repartition) — correct but
+    ICI-wasteful and warning-spamming. Anchoring the activations at LN/Conv
+    boundaries makes propagation consistent end to end.
+
+    Dims that don't divide the mesh axis are left unconstrained (e.g. H=1
+    stage-4 features of tiny test configs).
+    """
+    mesh = _ACTIVE_MESH
+    if mesh is None or not hasattr(x, "ndim") or x.ndim < 2:
+        return x
+    data = mesh.shape.get("data", 1)
+    space = mesh.shape.get("space", 1)
+    if space <= 1:
+        # pure-DP: batch dim only (matches batch_sharding's 1-D spec)
+        if data > 1 and x.shape[0] % data == 0:
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data")))
+        return x
+    spec_dims = [None] * x.ndim
+    if x.shape[0] % data == 0:
+        spec_dims[0] = "data"
+    # Space-shard H (or the token dim) whenever it divides the axis. An
+    # indivisible H (deep pyramid tails of tiny test shapes) is pinned
+    # REPLICATED by the explicit P(..., None, ...) — anchoring propagation
+    # instead of leaving the partitioner to invent degenerate size-1-dim
+    # tile assignments (its "involuntary full rematerialization" fallback).
+    # At the real recipe shapes (384² train, 1024² serving) every pyramid
+    # level divides, so the whole backbone stays 2-D sharded.
+    if x.ndim >= 3 and x.shape[1] % space == 0:
+        spec_dims[1] = "space"
+    if spec_dims[0] is None and all(d is None for d in spec_dims):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec_dims)))

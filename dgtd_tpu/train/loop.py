@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.registry import DATASETS, HOOKS, METRICS, MODELS
 from ..data.loader import DataLoader
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import active_mesh, batch_sharding, make_mesh, replicated
 from . import optim as optim_lib
 from .state import TrainState, make_eval_step, make_train_step
 
@@ -82,6 +82,8 @@ class Runner:
             self.max_epochs,
             steps_per_epoch,
             model_cfg=cfg.get("model", {}),
+            # find_unused_parameters=True parity: dead modules stay frozen
+            frozen_prefixes=getattr(self.model, "frozen_param_prefixes", ()),
         )
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -98,7 +100,7 @@ class Runner:
         #: iteration (measured: 56 vs 78 img/s through the remote-TPU tunnel).
         self.host_step = 0
 
-        self._train_step = make_train_step(self.model, self.tx)
+        self._train_step = make_train_step(self.model, self.tx, repl_sharding=self.repl_sharding)
         self._eval_step = make_eval_step(self.model)
 
         # fused predict+metric-statistics step: only KB-sized per-image stats
@@ -227,6 +229,13 @@ class Runner:
             pass
 
     def train(self) -> None:
+        with active_mesh(self.mesh):
+            # tracing of the sharded step happens on first call inside the
+            # loop; the active mesh lets model code anchor activation
+            # shardings (parallel/mesh.py::spatial_constraint)
+            self._train_body()
+
+    def _train_body(self) -> None:
         self._install_preemption_handler()
         for h in self.hooks:
             h.before_train(self)
@@ -250,6 +259,10 @@ class Runner:
 
     # ------------------------------------------------------------------
     def val(self, during_train: bool = False, save_visualizations: bool = False) -> Dict[str, float]:
+        with active_mesh(self.mesh):
+            return self._val_body(during_train, save_visualizations)
+
+    def _val_body(self, during_train: bool = False, save_visualizations: bool = False) -> Dict[str, float]:
         if not during_train:
             for h in self.hooks:
                 h.before_val(self)

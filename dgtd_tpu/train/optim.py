@@ -81,6 +81,43 @@ def scale_by_lr_mults(mults) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def build_freeze_mask(params, prefixes: Tuple[str, ...]):
+    """Pytree of python bools: True = leaf path starts with a frozen prefix."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_to_str(kp) -> str:
+        return "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+        )
+
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: any(path_to_str(kp).startswith(p) for p in prefixes), params
+    )
+
+
+def freeze_updates(freeze_mask) -> optax.GradientTransformation:
+    """Zero the updates of frozen leaves — torch-DDP ``find_unused_parameters``
+    parity (PARITY.md delta 13): params the forward never touches get ``None``
+    grads under DDP, so torch AdamW skips them ENTIRELY (no step, no decay).
+    optax sees exact-zero grads instead, and decoupled weight decay would
+    still decay them; zeroing the final update keeps them bit-identical to
+    init, like the reference. Sits LAST in the chain so it composes with
+    ``optax.flatten`` and the lr-mult scaling."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return (
+            jax.tree.map(
+                lambda u, f: jnp.zeros_like(u) if f else u, updates, freeze_mask
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def cosine_epoch_schedule(
     base_lr: float, max_epochs: int, steps_per_epoch: int, eta_min: float = 0.0
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -105,12 +142,17 @@ def build_optimizer(
     betas: Tuple[float, float] = (0.9, 0.999),
     grad_clip: Optional[float] = None,
     flatten: bool = False,
+    frozen_prefixes: Tuple[str, ...] = (),
 ) -> optax.GradientTransformation:
     """``flatten``: run the AdamW core over one concatenated parameter vector
     (optax.flatten) — collapses the ~880 per-leaf update ops into a handful
     of big fused ones (the train-step profile shows a long tail of tiny
     optimizer fusions). The per-path lr multipliers stay OUTSIDE the
-    flattened core so they keep operating on the named tree."""
+    flattened core so they keep operating on the named tree.
+
+    ``frozen_prefixes``: param-path prefixes whose updates are zeroed —
+    reference ``find_unused_parameters=True`` DDP parity for
+    constructed-but-never-called modules (see :func:`freeze_updates`)."""
     schedule = cosine_epoch_schedule(base_lr, max_epochs, steps_per_epoch)
     mults = build_lr_mults(params, custom_keys)
     chain = []
@@ -122,11 +164,19 @@ def build_optimizer(
     core = optax.chain(*chain)
     if flatten:
         core = optax.flatten(core)
-    return optax.chain(core, scale_by_lr_mults(mults))
+    tail = [scale_by_lr_mults(mults)]
+    if frozen_prefixes:
+        tail.append(freeze_updates(build_freeze_mask(params, tuple(frozen_prefixes))))
+    return optax.chain(core, *tail)
 
 
 def build_from_config(
-    params, optim_cfg: dict, max_epochs: int, steps_per_epoch: int, model_cfg: Optional[dict] = None
+    params,
+    optim_cfg: dict,
+    max_epochs: int,
+    steps_per_epoch: int,
+    model_cfg: Optional[dict] = None,
+    frozen_prefixes: Tuple[str, ...] = (),
 ):
     """Construct from a reference-schema ``optim_wrapper`` block."""
     opt = optim_cfg.get("optimizer", {})
@@ -172,4 +222,5 @@ def build_from_config(
         steps_per_epoch=steps_per_epoch,
         custom_keys=custom_keys,
         grad_clip=clip,
+        frozen_prefixes=frozen_prefixes,
     )

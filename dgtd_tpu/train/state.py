@@ -31,12 +31,18 @@ def create_train_state(model, rng, image_size: int, tx) -> TrainState:
     )
 
 
-def make_train_step(model, tx) -> Callable:
+def make_train_step(model, tx, repl_sharding=None) -> Callable:
     """Build the jitted SPMD train step.
 
     With a batch-sharded input and replicated state, XLA inserts the gradient
     all-reduce over ICI automatically (DDP parity without NCCL plumbing).
     ``state`` is donated so parameter/optimizer buffers update in place.
+
+    ``repl_sharding``: the mesh's replicated NamedSharding. When given, the
+    gradient tree is sharding-constrained to it — without the constraint the
+    partitioner invents degenerate size-1-dim tile assignments for bias/scale
+    grad partial sums on 2-D (data×space) meshes and falls back to
+    "involuntary full rematerialization" (see tests/test_sharding.py).
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
@@ -52,6 +58,8 @@ def make_train_step(model, tx) -> Callable:
         (loss, (aux, new_mutable)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if repl_sharding is not None:
+            grads = jax.lax.with_sharding_constraint(grads, repl_sharding)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

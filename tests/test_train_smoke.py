@@ -209,6 +209,76 @@ def test_loader_shuffle_stream_continues_on_resume():
     assert orders[0] != orders[1] != orders[2]
 
 
+@pytest.mark.slow
+def test_baseline_dead_diffusion_params_stay_frozen():
+    """PARITY delta 13 closed: ``baseline``'s constructed-but-never-called
+    diffusion modules must stay BIT-IDENTICAL over train steps — torch DDP
+    ``find_unused_parameters=True`` leaves their grads None so AdamW skips
+    them (no update, no decay); optax would otherwise weight-decay their
+    exact-zero-grad params every step."""
+    from dgtd_tpu.core.registry import MODELS
+    from dgtd_tpu.train.optim import build_optimizer
+    from dgtd_tpu.train.state import TrainState, make_train_step
+
+    model = MODELS.get("baseline")(
+        dtype=jnp.float32,
+        variant="b0",
+        grid=8,
+        channel=8,
+        latent_dim=8,
+        refine_iters=1,
+        convnext_dims=(8, 16, 32, 64),
+        convnext_depths=(1, 1, 1, 1),
+    )
+    assert model.frozen_param_prefixes == (
+        "hitnet/prompt_encoder",
+        "hitnet/prompt_decoder",
+    )
+    variables = model.init(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    tx = build_optimizer(
+        variables["params"],
+        steps_per_epoch=1,
+        frozen_prefixes=model.frozen_param_prefixes,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(model, tx)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input": jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+        "depth": jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32),
+        "label": jnp.asarray((rng.rand(2, 32, 32, 1) > 0.5), jnp.float32),
+    }
+    init_frozen = jax.device_get(
+        {
+            k: v
+            for k, v in variables["params"]["hitnet"].items()
+            if k.startswith(("prompt_encoder", "prompt_decoder"))
+        }
+    )
+    assert init_frozen, "baseline tree lost its dead diffusion params"
+    # snapshot BEFORE stepping: state donation deletes the init buffers
+    bb_before = np.array(jax.tree.leaves(variables["params"]["hitnet"]["backbone"])[0])
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    after = jax.device_get(state.params["hitnet"])
+    for mod, tree in init_frozen.items():
+        for path, leaf in zip(
+            jax.tree_util.tree_leaves_with_path(tree), jax.tree.leaves(after[mod])
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(path[1]), np.asarray(leaf),
+                err_msg=f"{mod}{jax.tree_util.keystr(path[0])} drifted",
+            )
+    # and the LIVE params did train
+    bb_after = np.asarray(jax.tree.leaves(after["backbone"])[0])
+    assert not np.array_equal(bb_before, bb_after)
+
+
 def test_pretrain_init_actually_grafts(runner, tmp_path):
     """our_init must load converted pretrain npz files (subtree-relative
     keys) into the backbone/tower subtrees. Review r3 found the original
