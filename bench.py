@@ -40,12 +40,14 @@ except Exception:
 from jax import lax
 
 
-def _train_setup(model, variables, size, batch_size, flat_opt=False):
+def _train_setup(model, variables, size, batch_size, flat_opt=False, bf16_opt=False):
     """Shared train-bench state: optimizer, TrainState, random batch, key."""
     from dgtd_tpu.train.optim import build_optimizer
     from dgtd_tpu.train.state import TrainState, make_train_step
 
-    tx = build_optimizer(variables["params"], steps_per_epoch=100, flatten=flat_opt)
+    tx = build_optimizer(
+        variables["params"], steps_per_epoch=100, flatten=flat_opt, bf16_state=bf16_opt
+    )
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -62,14 +64,18 @@ def _train_setup(model, variables, size, batch_size, flat_opt=False):
     return state, train_step, batch, jax.random.PRNGKey(1)
 
 
-def measure_train_scan(model, variables, size, batch_size, iters, repeats, flat_opt=False):
+def measure_train_scan(
+    model, variables, size, batch_size, iters, repeats, flat_opt=False, bf16_opt=False
+):
     """Device-bound train-step seconds/step: ``iters`` steps inside one
     jitted ``lax.scan`` (the real loop's sync pattern — it reads only
     host_step per iteration and syncs at logger intervals). Returns
     (sec_per_step, last_loss)."""
     from jax import lax
 
-    state, train_step, batch, key = _train_setup(model, variables, size, batch_size, flat_opt)
+    state, train_step, batch, key = _train_setup(
+        model, variables, size, batch_size, flat_opt, bf16_opt
+    )
 
     def multi_step(state, _):
         def body(st, i):
@@ -100,11 +106,12 @@ def bench_train(model, variables, args):
     update ops."""
     if args.scan:
         sec, loss = measure_train_scan(
-            model, variables, args.size, args.batch, args.iters, args.repeats, args.flat_opt
+            model, variables, args.size, args.batch, args.iters, args.repeats,
+            args.flat_opt, args.bf16_opt,
         )
     else:
         state, train_step, batch, key = _train_setup(
-            model, variables, args.size, args.batch, args.flat_opt
+            model, variables, args.size, args.batch, args.flat_opt, args.bf16_opt
         )
         state, aux = train_step(state, batch, key)
         float(aux["loss"])  # force
@@ -128,6 +135,107 @@ def bench_train(model, variables, args):
     )
 
 
+def measure_infer_scan(model, variables, size, batch, iters, repeats):
+    """images/sec for batched inference at ``size``² (same scan+readback
+    methodology as the 384² headline)."""
+
+    @jax.jit
+    def bench_fn(variables, images, depths, seed):
+        def body(carry, xs):
+            im, d = xs
+            prob, _ = model.predict(variables, im + seed * 1e-6, d)
+            return carry + jnp.sum(prob), None
+
+        total, _ = lax.scan(body, jnp.float32(0.0), (images, depths))
+        return total
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(iters, batch, size, size, 3), jnp.float32)
+    depths = jnp.asarray(rng.rand(iters, batch, size, size, 1), jnp.float32)
+    float(bench_fn(variables, images, depths, jnp.float32(-1.0)))  # compile
+    times = []
+    for r in range(repeats):
+        t0 = time.time()
+        float(bench_fn(variables, images, depths, jnp.float32(r)))
+        times.append(time.time() - t0)
+    return iters * batch / min(times)
+
+
+def measure_eval_e2e(model, variables, size, batch, n_images):
+    """Composed end-to-end eval throughput: JPEG decode → native
+    resize+normalize → jitted predict → device metric statistics → host
+    stat fetch (the real ``-m val`` pipeline shape; reference ValLoop is the
+    comparison point). Synthetic folder written once; decode counted."""
+    import tempfile
+
+    from PIL import Image
+
+    from dgtd_tpu.metrics.device import batch_statistics
+    from dgtd_tpu.native import pixelops
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="dgtd_e2e_")
+    names = []
+    for i in range(n_images):
+        img = (rng.rand(size + 37, size + 11, 3) * 255).astype(np.uint8)
+        dep = (rng.rand(size + 37, size + 11) * 255).astype(np.uint8)
+        gt = ((rng.rand(size + 37, size + 11) > 0.7) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(tmp, f"i{i:03d}.jpg"), quality=92)
+        Image.fromarray(dep).save(os.path.join(tmp, f"i{i:03d}_d.png"))
+        Image.fromarray(gt).save(os.path.join(tmp, f"i{i:03d}_g.png"))
+        names.append(f"i{i:03d}")
+
+    use_native = pixelops.available()
+
+    def prep(u8, channels3):
+        if use_native:
+            m = mean if channels3 else None
+            s = std if channels3 else None
+            out = pixelops.resize_normalize(u8, (size, size), m, s)
+        else:
+            arr = np.asarray(
+                Image.fromarray(u8).resize((size, size), Image.BILINEAR), np.float32
+            ) / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            out = (arr - mean) / std if channels3 else arr
+        return out if channels3 else out[..., :1]
+
+    @jax.jit
+    def infer_stats(variables, image, depth, label):
+        prob, _ = model.predict(variables, image, depth)
+        return batch_statistics(prob, label)
+
+    def run_batch(batch_names):
+        imgs, deps, gts = [], [], []
+        for n in batch_names:
+            with Image.open(os.path.join(tmp, f"{n}.jpg")) as im:
+                imgs.append(prep(np.asarray(im.convert("RGB")), True))
+            with Image.open(os.path.join(tmp, f"{n}_d.png")) as dm:
+                deps.append(prep(np.asarray(dm.convert("L")), False))
+            with Image.open(os.path.join(tmp, f"{n}_g.png")) as gm:
+                gts.append(prep(np.asarray(gm.convert("L")), False))
+        stats = infer_stats(
+            variables, jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(deps)),
+            jnp.asarray(np.stack(gts)),
+        )
+        return {k: np.asarray(v) for k, v in jax.device_get(stats).items()}
+
+    run_batch(names[:batch])  # compile + pipeline warmup
+    t0 = time.time()
+    done = 0
+    while done + batch <= n_images:
+        run_batch(names[done : done + batch])
+        done += batch
+    sec = time.time() - t0
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return done / sec, "native" if use_native else "pil"
+
+
 def main():
     ap = argparse.ArgumentParser()
     # 384^2 = the recipe resolution AND the only size the reference torch
@@ -146,21 +254,18 @@ def main():
                     help="train mode: run steps inside one jitted lax.scan (device-bound)")
     ap.add_argument("--flat-opt", action="store_true",
                     help="train mode: optax.flatten the optimizer update")
-    ap.add_argument("--pallas-ln", action="store_true",
-                    help="route LayerNorm through the fused Pallas kernel")
+    ap.add_argument("--bf16-opt", action="store_true",
+                    help="train mode: bf16 AdamW m/v with stochastic rounding")
     ap.add_argument("--no-train", action="store_true",
                     help="skip the secondary train-step measurement")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip the secondary 512-inference and e2e-eval measurements")
     ap.add_argument("--train-batch", type=int, default=32,
                     help="batch for the secondary train metric (recipe-scale)")
     args = ap.parse_args()
 
     if args.cpu_baseline_mode:
         jax.config.update("jax_platforms", "cpu")
-
-    if args.pallas_ln:
-        from dgtd_tpu.core import flags
-
-        flags.set_flag("use_pallas_layernorm", True)
 
     from dgtd_tpu.models import cod
 
@@ -243,6 +348,23 @@ def main():
         except Exception as e:  # pragma: no cover - defensive
             train_fields = {"train_bench_error": f"{type(e).__name__}: {e}"[:160]}
 
+    # declared-size + composed-eval secondaries (BASELINE.json names 352²/512²;
+    # the reference ValLoop is the e2e comparison point). Guarded like the
+    # train metric: failures report inline, never sink the headline.
+    extra_fields = {}
+    if not args.no_extras and jax.default_backend() == "tpu":
+        try:
+            ips512 = measure_infer_scan(model, variables, 512, args.batch, iters=8, repeats=2)
+            extra_fields["infer_512_images_per_sec"] = round(ips512, 2)
+        except Exception as e:  # pragma: no cover - defensive
+            extra_fields["infer_512_error"] = f"{type(e).__name__}: {e}"[:160]
+        try:
+            eps, pipe = measure_eval_e2e(model, variables, args.size, args.batch, n_images=64)
+            extra_fields["eval_e2e_images_per_sec"] = round(eps, 2)
+            extra_fields["eval_e2e_pipeline"] = pipe
+        except Exception as e:  # pragma: no cover - defensive
+            extra_fields["eval_e2e_error"] = f"{type(e).__name__}: {e}"[:160]
+
     print(
         json.dumps(
             {
@@ -252,6 +374,7 @@ def main():
                 "vs_baseline": round(vs, 2) if vs else None,
                 "ms_per_image": round(sec / (iters * args.batch) * 1000, 3),
                 **train_fields,
+                **extra_fields,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -5,10 +5,6 @@ a model. The reference has no analog (its toggles were file copies); these are
 the framework's sanctioned experiment knobs.
 """
 
-#: route models/layers.LayerNorm through the fused Pallas kernel
-#: (ops/layernorm_pallas.py) on TPU.
-use_pallas_layernorm: bool = False
-
 #: diffusion stencil layout/kernel selection: None = auto (plane-layout
 #: Pallas on TPU for grids >= models.diffusion.PALLAS_MIN_GRID, fused XLA
 #: otherwise); True/False force it (tests force True with interpret mode).

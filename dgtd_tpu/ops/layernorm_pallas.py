@@ -7,9 +7,15 @@ kernel computes mean/var and applies scale/bias in ONE pass over VMEM-resident
 row blocks: bf16 in/out, fp32 statistics, no separate reduce pass.
 
 Forward-only kernel with the backward supplied as the VJP of the identical
-jnp math (same pattern as the other kernels in this package); enabled via
-``dgtd_tpu.core.flags.use_pallas_layernorm`` (off by default until it wins
-end-to-end on the target generation).
+jnp math (same pattern as the other kernels in this package).
+
+STATUS — RETIRED from the model path (kept as a tested kernel example).
+Measured end-to-end on v5e at the flagship shapes, it is NEUTRAL in both
+regimes: train 384² bs32 76.7 vs 78.5 img/s; inference 384² bs8 231.7 vs
+230.2 img/s. The convert_reduce fusions it replaces already run at HBM
+bandwidth, so a single-pass kernel moves no bottleneck; the model now always
+uses flax ``nn.LayerNorm`` (models/layers.py), and the former
+``core.flags.use_pallas_layernorm`` surface is deleted.
 """
 
 from __future__ import annotations

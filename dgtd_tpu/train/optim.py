@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import fnmatch
 import math
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,87 @@ def scale_by_lr_mults(mults) -> optax.GradientTransformation:
 
     def update_fn(updates, state, params=None):
         return jax.tree.map(lambda u, m: u * m, updates, mults), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def stochastic_round_bf16(x: jnp.ndarray, key) -> jnp.ndarray:
+    """Stochastically round f32 → bf16 (exact bit-level construction).
+
+    bf16 is f32 with the low 16 mantissa bits dropped; adding 16 uniform
+    random bits before truncation rounds each value up with probability
+    equal to its truncated fraction — an unbiased quantizer. Plain
+    round-to-nearest would freeze the AdamW EMAs: with b2=0.999 the v
+    increment is ~1e-3 of the running value, far below bf16's ~2^-8
+    relative resolution, so every increment rounds away.
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    rnd = jax.random.bits(key, x.shape, jnp.uint32) >> 16
+    rounded = (bits + rnd) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+
+
+class ScaleByAdamBf16State(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_bf16(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """Adam whose m/v EMAs are STORED in bf16 (halving the optimizer-state
+    HBM traffic — the train-step profile's multiply_add slice) but COMPUTED
+    in f32, with stochastic rounding on the state writes so the EMAs stay
+    unbiased. Math matches optax.scale_by_adam otherwise. Flag surface:
+    ``build_optimizer(bf16_state=True)`` / recipe ``optim_wrapper.bf16_state``
+    / ``bench.py --bf16-opt``."""
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=jnp.bfloat16)
+        return ScaleByAdamBf16State(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        # deterministic per-(step, leaf) rounding keys — fixed seed so runs
+        # are reproducible; the noise only dithers the last mantissa bit.
+        # rbg impl: the TPU hardware RNG — threefry bits for every v leaf
+        # cost more VPU time than the bf16 states save in HBM traffic.
+        base = jax.random.fold_in(
+            jax.random.key(0x5EED, impl="rbg" if jax.default_backend() == "tpu" else None),
+            count,
+        )
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**c
+        bc2 = 1.0 - b2**c
+
+        grads, treedef = jax.tree_util.tree_flatten(updates)
+        keys = jax.random.split(base, max(len(grads), 1))
+        mu_flat = jax.tree_util.tree_leaves(state.mu)
+        nu_flat = jax.tree_util.tree_leaves(state.nu)
+        out_leaves, mu_leaves, nu_leaves = [], [], []
+        for i, (g, m, v) in enumerate(zip(grads, mu_flat, nu_flat)):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            out_leaves.append((m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps))
+            # m: nearest rounding suffices — its per-step increment is
+            # (1-b1)=0.1 of the running value, well inside bf16's ~2^-8
+            # relative resolution. v's increment is (1-b2)=1e-3 — below
+            # resolution, so v NEEDS the stochastic rounding to stay live.
+            mu_leaves.append(m32.astype(jnp.bfloat16))
+            nu_leaves.append(stochastic_round_bf16(v32, keys[i]))
+        new_updates = jax.tree_util.tree_unflatten(treedef, out_leaves)
+        new_state = ScaleByAdamBf16State(
+            count=count,
+            mu=jax.tree_util.tree_unflatten(treedef, mu_leaves),
+            nu=jax.tree_util.tree_unflatten(treedef, nu_leaves),
+        )
+        return new_updates, new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -143,6 +224,7 @@ def build_optimizer(
     grad_clip: Optional[float] = None,
     flatten: bool = False,
     frozen_prefixes: Tuple[str, ...] = (),
+    bf16_state: bool = False,
 ) -> optax.GradientTransformation:
     """``flatten``: run the AdamW core over one concatenated parameter vector
     (optax.flatten) — collapses the ~880 per-leaf update ops into a handful
@@ -158,9 +240,18 @@ def build_optimizer(
     chain = []
     if grad_clip:
         chain.append(optax.clip(grad_clip))
-    chain.append(
-        optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
-    )
+    if bf16_state:
+        # AdamW decomposition with bf16 m/v (scale_by_adam_bf16): same
+        # decoupled-decay placement as optax.adamw
+        chain += [
+            scale_by_adam_bf16(b1=betas[0], b2=betas[1]),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(schedule),
+        ]
+    else:
+        chain.append(
+            optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+        )
     core = optax.chain(*chain)
     if flatten:
         core = optax.flatten(core)
@@ -223,4 +314,5 @@ def build_from_config(
         custom_keys=custom_keys,
         grad_clip=clip,
         frozen_prefixes=frozen_prefixes,
+        bf16_state=bool(optim_cfg.get("bf16_state", False)),
     )

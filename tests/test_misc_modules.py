@@ -275,6 +275,63 @@ def test_profiler_hook_fires_on_resume(tmp_path, monkeypatch):
     assert [e[0] for e in events] == ["start", "stop"]
 
 
+def test_stochastic_round_bf16_unbiased_and_exact():
+    """The bf16 optimizer-state quantizer: exact on representable values,
+    unbiased in expectation between them (nearest-rounding would freeze the
+    b2=0.999 v-EMA whose increments sit below bf16 resolution)."""
+    from dgtd_tpu.train.optim import stochastic_round_bf16
+
+    # representable values round to themselves under every key
+    x = jnp.asarray([1.0, -2.5, 0.0, 3.0e-12, -1.0e20], jnp.bfloat16).astype(jnp.float32)
+    for seed in range(3):
+        got = stochastic_round_bf16(x, jax.random.PRNGKey(seed))
+        np.testing.assert_array_equal(np.asarray(got, np.float32), np.asarray(x))
+    # a value strictly between two bf16 neighbors averages to itself
+    lo = np.float32(np.asarray(jnp.asarray(1.0, jnp.bfloat16), np.float32))
+    hi = np.float32(np.asarray(jnp.nextafter(jnp.asarray(1.0, jnp.bfloat16), jnp.asarray(2.0, jnp.bfloat16)), np.float32))
+    mid = np.float32(lo + 0.25 * (hi - lo))
+    xs = jnp.full((20000,), mid, jnp.float32)
+    r = np.asarray(stochastic_round_bf16(xs, jax.random.PRNGKey(7)), np.float32)
+    assert set(np.unique(r)) <= {lo, hi}
+    p_hi = float((r == hi).mean())
+    assert abs(p_hi - 0.25) < 0.02, p_hi  # unbiased: E[round(x)] == x
+    # EMA freeze regression: 0.999-EMA of a constant must climb, not stick
+    from dgtd_tpu.train.optim import scale_by_adam_bf16
+
+    tx = scale_by_adam_bf16(b1=0.9, b2=0.999)
+    params = {"w": jnp.zeros((256,), jnp.float32)}
+    state = tx.init(params)
+    g = {"w": jnp.full((256,), 0.1, jnp.float32)}
+    for _ in range(200):
+        _, state = tx.update(g, state, params)
+    v = float(np.mean(np.asarray(state.nu["w"], np.float32)))
+    expect = 0.1 * 0.1 * (1 - 0.999**200)  # true EMA of g^2
+    assert abs(v - expect) / expect < 0.05, (v, expect)
+
+
+def test_bf16_adam_matches_fp32_adam_updates():
+    """scale_by_adam_bf16's UPDATE math equals optax.scale_by_adam to bf16
+    state precision (same bias correction, eps placement)."""
+    import optax
+    from dgtd_tpu.train.optim import scale_by_adam_bf16
+
+    rng = np.random.RandomState(0)
+    params = {"a": jnp.asarray(rng.randn(32), jnp.float32)}
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    ours = scale_by_adam_bf16(b1=0.9, b2=0.999, eps=1e-8)
+    s_ref, s_ours = ref.init(params), ours.init(params)
+    for i in range(5):
+        g = {"a": jnp.asarray(rng.randn(32) * 0.01, jnp.float32)}
+        u_ref, s_ref = ref.update(g, s_ref, params)
+        u_ours, s_ours = ours.update(g, s_ours, params)
+        # tolerance = accumulated bf16 state noise (~2^-8 relative per step,
+        # amplified through 1/sqrt(v); near-zero updates need the atol), NOT
+        # math divergence — updates here are O(1) scale
+        np.testing.assert_allclose(
+            np.asarray(u_ours["a"]), np.asarray(u_ref["a"]), rtol=5e-2, atol=2e-3
+        )
+
+
 def test_dataset_rejects_partial_depth_dir(tmp_path):
     """Sorted-order depth pairing is only valid 1:1 — a partial depth dir
     must fail loudly, not silently misalign after size filtering."""
