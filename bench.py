@@ -48,11 +48,17 @@ def _train_setup(model, variables, size, batch_size, flat_opt=False, bf16_opt=Fa
     tx = build_optimizer(
         variables["params"], steps_per_epoch=100, flatten=flat_opt, bf16_state=bf16_opt
     )
+    # The jitted step DONATES the state, deleting its buffers in place —
+    # the state must own COPIES of the params/stats or the caller's
+    # ``variables`` die with the first step (the 512²/e2e measurements that
+    # follow the train bench would then dispatch deleted arrays, which the
+    # axon tunnel surfaces as an opaque INVALID_ARGUMENT).
+    params = jax.tree.map(jnp.copy, variables["params"])
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
+        params=params,
+        batch_stats=jax.tree.map(jnp.copy, variables.get("batch_stats", {})),
+        opt_state=tx.init(params),
     )
     train_step = make_train_step(model, tx)
     rng = np.random.RandomState(0)
@@ -189,47 +195,69 @@ def measure_eval_e2e(model, variables, size, batch, n_images):
 
     use_native = pixelops.available()
 
-    def prep(u8, channels3):
+    def prep(u8):
+        """Resize on host, ship uint8 — normalization happens on device
+        (4x less host->device traffic; decisive over a tunneled device)."""
         if use_native:
-            m = mean if channels3 else None
-            s = std if channels3 else None
-            out = pixelops.resize_normalize(u8, (size, size), m, s)
+            out = pixelops.resize_u8(u8, (size, size))
         else:
-            arr = np.asarray(
-                Image.fromarray(u8).resize((size, size), Image.BILINEAR), np.float32
-            ) / 255.0
-            if arr.ndim == 2:
-                arr = arr[:, :, None]
-            out = (arr - mean) / std if channels3 else arr
-        return out if channels3 else out[..., :1]
+            out = np.asarray(Image.fromarray(u8).resize((size, size), Image.BILINEAR))
+            if out.ndim == 2:
+                out = out[:, :, None]
+        return out
+
+    jmean, jstd = jnp.asarray(mean), jnp.asarray(std)
 
     @jax.jit
-    def infer_stats(variables, image, depth, label):
+    def infer_stats(variables, image_u8, depth_u8, label_u8):
+        image = (image_u8.astype(jnp.float32) / 255.0 - jmean) / jstd
+        depth = depth_u8.astype(jnp.float32) / 255.0
+        label = label_u8.astype(jnp.float32) / 255.0
         prob, _ = model.predict(variables, image, depth)
         return batch_statistics(prob, label)
 
-    def run_batch(batch_names):
+    def decode_batch(batch_names):
         imgs, deps, gts = [], [], []
         for n in batch_names:
             with Image.open(os.path.join(tmp, f"{n}.jpg")) as im:
-                imgs.append(prep(np.asarray(im.convert("RGB")), True))
+                imgs.append(prep(np.asarray(im.convert("RGB"))))
             with Image.open(os.path.join(tmp, f"{n}_d.png")) as dm:
-                deps.append(prep(np.asarray(dm.convert("L")), False))
+                deps.append(prep(np.asarray(dm.convert("L"))))
             with Image.open(os.path.join(tmp, f"{n}_g.png")) as gm:
-                gts.append(prep(np.asarray(gm.convert("L")), False))
-        stats = infer_stats(
-            variables, jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(deps)),
-            jnp.asarray(np.stack(gts)),
-        )
+                gts.append(prep(np.asarray(gm.convert("L"))))
+        return np.stack(imgs), np.stack(deps), np.stack(gts)
+
+    def dispatch(arrays):
+        im, d, g = (jnp.asarray(a) for a in arrays)
+        return infer_stats(variables, im, d, g)
+
+    def fetch(stats):
         return {k: np.asarray(v) for k, v in jax.device_get(stats).items()}
 
-    run_batch(names[:batch])  # compile + pipeline warmup
-    t0 = time.time()
-    done = 0
-    while done + batch <= n_images:
-        run_batch(names[done : done + batch])
-        done += batch
-    sec = time.time() - t0
+    # one-batch-deep prefetch, mirroring the real loader's background-thread
+    # decode (data/loader.py): host decodes batch N+1 while the device runs
+    # batch N; the fetch of N's stats drains one batch behind the dispatch.
+    from concurrent.futures import ThreadPoolExecutor
+
+    fetch(dispatch(decode_batch(names[:batch])))  # compile + warmup
+    batches = [names[i : i + batch] for i in range(0, n_images - batch + 1, batch)]
+    done = len(batches) * batch
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        t0 = time.time()
+        nxt = pool.submit(decode_batch, batches[0])
+        pending = None
+        for bn in batches[1:]:
+            arrays = nxt.result()
+            nxt = pool.submit(decode_batch, bn)
+            stats = dispatch(arrays)
+            if pending is not None:
+                fetch(pending)
+            pending = stats
+        stats = dispatch(nxt.result())
+        if pending is not None:
+            fetch(pending)
+        fetch(stats)
+        sec = time.time() - t0
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

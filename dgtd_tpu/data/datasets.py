@@ -55,12 +55,17 @@ class FolderSODDataset:
         image_size: Optional[Union[tuple, list]] = None,
         filter_size_mismatch: bool = True,
         pipeline: str = "pil",
+        uint8_io: bool = False,
     ):
         #: "native" routes post-decode work (resize+normalize+flip) through the
         #: fused C++ pipeline (dgtd_tpu/native/pixelops.cpp) — half-pixel
         #: bilinear, matching torch interpolate; "pil" (default) keeps PIL's
         #: antialiased resample like the reference's torchvision transforms.
         self.pipeline = pipeline
+        #: ship post-resize uint8 to the device and normalize there (jitted
+        #: steps route inputs through data/device_norm.py — 4x less
+        #: host->device traffic; exact no-op for float pipelines).
+        self.uint8_io = bool(uint8_io)
         if pipeline == "native":
             from ..native import pixelops
 
@@ -123,6 +128,8 @@ class FolderSODDataset:
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
         flip = bool(self.train_mode and rng is not None and rng.random() < 0.5)
         size = (self.size, self.size)
+        if self.uint8_io:
+            return self._get_uint8(index, size, flip)
         if self.pipeline == "native":
             from ..native import pixelops
 
@@ -150,6 +157,34 @@ class FolderSODDataset:
             "label": label,
             "depth": depth,
         }
+
+    def _get_uint8(self, index: int, size, flip: bool) -> Dict[str, np.ndarray]:
+        """uint8-ingest path: resized (optionally flipped) uint8 HWC arrays;
+        normalization happens inside the jitted step (data/device_norm.py).
+        ``raw`` keeps its reference contract (path, or the resized UNFLIPPED
+        image — as uint8 here; the visualizer handles both dtypes)."""
+        if self.pipeline == "native":
+            from ..native import pixelops
+
+            resize = lambda u8, f: pixelops.resize_u8(u8, size, f)
+        else:
+
+            def resize(u8, f):
+                arr = np.asarray(
+                    Image.fromarray(u8.squeeze(-1) if u8.ndim == 3 and u8.shape[-1] == 1 else u8)
+                    .resize((size[1], size[0]), Image.BILINEAR),
+                    np.uint8,
+                )
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                return arr[:, ::-1].copy() if f else arr
+
+        img_u8 = self._decode(self.images[index], "RGB")
+        inp = resize(img_u8, flip)
+        label = resize(self._decode(self.gts[index], "L")[..., None], flip)
+        depth = resize(self._decode(self.depths[index], "L")[..., None], flip)
+        raw = self.images[index] if self.raw_as_path else resize(img_u8, False)
+        return {"raw": raw, "input": inp, "label": label, "depth": depth}
 
     # torch-style convenience (no augmentation rng)
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

@@ -95,6 +95,55 @@ void resize_bilinear_normalize(const uint8_t* src, int sh, int sw, int c,
   }
 }
 
+// uint8-out variant for device-side normalization: same half-pixel bilinear
+// resize (+ optional flip) but the output stays uint8 (round-to-nearest).
+// Shipping uint8 to the device and normalizing there cuts host->device
+// transfer 4x — decisive when the accelerator is remote (tunneled) and
+// useful on any PCIe host; the jitted eval step applies (x/255 - mean)/std.
+void resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c,
+                        uint8_t* dst, int dh, int dw, int flip) {
+  std::vector<Tap> ytaps, xtaps;
+  build_taps(sh, dh, ytaps);
+  build_taps(sw, dw, xtaps);
+  std::vector<float> rowbuf(static_cast<size_t>(sw) * c);
+  int last_y0 = -1, last_y1 = -1;
+  float last_wy = -1.f;
+  for (int y = 0; y < dh; ++y) {
+    const Tap ty = ytaps[y];
+    if (ty.i0 != last_y0 || ty.i1 != last_y1 || ty.w1 != last_wy) {
+      const uint8_t* r0 = src + static_cast<size_t>(ty.i0) * sw * c;
+      const uint8_t* r1 = src + static_cast<size_t>(ty.i1) * sw * c;
+      const float w1 = ty.w1, w0 = 1.0f - ty.w1;
+      for (size_t i = 0; i < static_cast<size_t>(sw) * c; ++i) {
+        rowbuf[i] = w0 * r0[i] + w1 * r1[i];
+      }
+      last_y0 = ty.i0;
+      last_y1 = ty.i1;
+      last_wy = ty.w1;
+    }
+    uint8_t* out_row = dst + static_cast<size_t>(y) * dw * c;
+    for (int x = 0; x < dw; ++x) {
+      const Tap tx = xtaps[x];
+      int x0 = tx.i0, x1 = tx.i1;
+      const float wx1 = tx.w1;
+      if (flip) {
+        x0 = sw - 1 - tx.i0;
+        x1 = sw - 1 - tx.i1;
+      }
+      const float* p0 = rowbuf.data() + static_cast<size_t>(x0) * c;
+      const float* p1 = rowbuf.data() + static_cast<size_t>(x1) * c;
+      uint8_t* o = out_row + static_cast<size_t>(x) * c;
+      for (int ch = 0; ch < c; ++ch) {
+        const float v = (1.0f - wx1) * p0[ch] + wx1 * p1[ch];
+        int q = static_cast<int>(v + 0.5f);
+        if (q < 0) q = 0;
+        if (q > 255) q = 255;
+        o[ch] = static_cast<uint8_t>(q);
+      }
+    }
+  }
+}
+
 // Batched variant: n images with identical geometry, contiguous src/dst.
 void resize_bilinear_normalize_batch(const uint8_t* src, int n, int sh, int sw,
                                      int c, float* dst, int dh, int dw,

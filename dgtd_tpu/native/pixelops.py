@@ -47,6 +47,17 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.resize_bilinear_normalize.restype = None
+        lib.resize_bilinear_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.resize_bilinear_u8.restype = None
         _lib = lib
     except Exception:
         _build_failed = True
@@ -87,6 +98,32 @@ def resize_normalize(
         dw,
         mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1 if flip else 0,
+    )
+    return dst
+
+
+def resize_u8(src_u8: np.ndarray, out_hw, flip: bool = False) -> np.ndarray:
+    """uint8 HWC -> uint8 HWC: the same half-pixel bilinear resize (+flip)
+    with round-to-nearest requantization and NO normalization — for shipping
+    uint8 to the device and normalizing there (4x less host->device traffic;
+    see bench.py measure_eval_e2e device-normalize path)."""
+    lib = _ensure_built()
+    assert lib is not None, "native pixelops unavailable"
+    src_u8 = np.ascontiguousarray(src_u8, np.uint8)
+    if src_u8.ndim == 2:
+        src_u8 = src_u8[:, :, None]
+    sh, sw, c = src_u8.shape
+    dh, dw = int(out_hw[0]), int(out_hw[1])
+    dst = np.empty((dh, dw, c), np.uint8)
+    lib.resize_bilinear_u8(
+        src_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sh,
+        sw,
+        c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dh,
+        dw,
         1 if flip else 0,
     )
     return dst

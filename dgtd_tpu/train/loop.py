@@ -107,9 +107,13 @@ class Runner:
         # leave the device during val (metrics/device.py)
         from ..metrics.device import batch_statistics
 
+        from ..data.device_norm import normalize_image, scale_plane
+
         def _eval_stats(variables, image, depth, label):
-            prob, _ = self.model.predict(variables, image, depth)
-            return batch_statistics(prob, label)
+            prob, _ = self.model.predict(
+                variables, normalize_image(image), scale_plane(depth)
+            )
+            return batch_statistics(prob, scale_plane(label))
 
         self._eval_stats_step = jax.jit(_eval_stats)
 
@@ -301,6 +305,8 @@ class Runner:
                 prob, extras = self._eval_step(variables, batch["input"], batch["depth"]), None
             prob_np = np.asarray(jax.device_get(prob))
             label_np = np.asarray(jax.device_get(batch["label"]))
+            if label_np.dtype == np.uint8:  # uint8-ingest datasets
+                label_np = label_np.astype(np.float32) / 255.0
             n_images += prob_np.shape[0]
             for m in self.metrics:
                 m.process(prob_np, label_np)
@@ -342,6 +348,13 @@ class Runner:
         input_np = np.asarray(jax.device_get(batch["input"]))
         label_np = np.asarray(jax.device_get(batch["label"]))
         depth_np = np.asarray(jax.device_get(batch["depth"]))
+        if input_np.dtype == np.uint8:  # uint8-ingest: convert to the
+            # normalized form the denormalizing save below expects
+            input_np = (input_np.astype(np.float32) / 255.0 - mean) / std
+        if label_np.dtype == np.uint8:
+            label_np = label_np.astype(np.float32) / 255.0
+        if depth_np.dtype == np.uint8:
+            depth_np = depth_np.astype(np.float32) / 255.0
         # texture is None for prompt-less variants (reference baseline saves
         # only input/label/output, baseline.py:180-185)
         tex = extras.get("texture") if extras else None

@@ -46,6 +46,9 @@ def make_train_step(model, tx, repl_sharding=None) -> Callable:
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
+        from ..data.device_norm import normalize_batch
+
+        batch = normalize_batch(batch)  # uint8-ingest: no-op for float input
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -79,7 +82,9 @@ def make_eval_step(model, with_extras: bool = False) -> Callable:
     full forward for it."""
 
     def eval_step(variables, image, depth):
-        prob, extras = model.predict(variables, image, depth)
+        from ..data.device_norm import normalize_image, scale_plane
+
+        prob, extras = model.predict(variables, normalize_image(image), scale_plane(depth))
         return (prob, extras) if with_extras else prob
 
     return jax.jit(eval_step)

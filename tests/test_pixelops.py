@@ -37,3 +37,22 @@ def test_grayscale_plane():
         resize_bilinear(jnp.asarray(src[None, :, :, None], jnp.float32) / 255.0, (10, 10))
     )[0]
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_u8_matches_float_path():
+    """uint8-out resize (device-normalize shipping path) == the float resize
+    requantized round-to-nearest, for both color and grayscale."""
+    rng = np.random.RandomState(3)
+    for shape, out_hw in (((37, 53, 3), (64, 48)), ((20, 20), (10, 10))):
+        src = (rng.rand(*shape) * 255).astype(np.uint8)
+        got = pixelops.resize_u8(src, out_hw)
+        ref = pixelops.resize_normalize(src, out_hw) * 255.0  # mean 0 / std 1
+        ref_u8 = np.clip(np.floor(ref + 0.5), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, ref_u8)
+
+
+def test_resize_u8_flip():
+    rng = np.random.RandomState(4)
+    src = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    got = pixelops.resize_u8(src, (16, 16), flip=True)
+    np.testing.assert_array_equal(got, src[:, ::-1])
