@@ -172,17 +172,25 @@ def measure_eval_e2e(model, variables, size, batch, n_images):
     resize+normalize → jitted predict → device metric statistics → host
     stat fetch (the real ``-m val`` pipeline shape; reference ValLoop is the
     comparison point). Synthetic folder written once; decode counted."""
+    import shutil
     import tempfile
 
     from PIL import Image
 
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="dgtd_e2e_")
+    # finally: an exception mid-bench must not leak the synthetic folder
+    try:
+        return _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image):
+    from dgtd_tpu.data.device_norm import IMAGENET_MEAN as mean, IMAGENET_STD as std
     from dgtd_tpu.metrics.device import batch_statistics
     from dgtd_tpu.native import pixelops
 
-    mean = np.array([0.485, 0.456, 0.406], np.float32)
-    std = np.array([0.229, 0.224, 0.225], np.float32)
-    rng = np.random.RandomState(0)
-    tmp = tempfile.mkdtemp(prefix="dgtd_e2e_")
     names = []
     for i in range(n_images):
         img = (rng.rand(size + 37, size + 11, 3) * 255).astype(np.uint8)
@@ -258,9 +266,6 @@ def measure_eval_e2e(model, variables, size, batch, n_images):
             fetch(pending)
         fetch(stats)
         sec = time.time() - t0
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
     return done / sec, "native" if use_native else "pil"
 
 
@@ -305,35 +310,7 @@ def main():
         return
 
     iters = args.iters
-
-    @jax.jit
-    def bench_fn(variables, images, depths, seed):
-        # scan over `iters` distinct batches; scalar carry forces execution
-        def body(carry, xs):
-            im, d = xs
-            prob, _ = model.predict(variables, im + seed * 1e-6, d)
-            return carry + jnp.sum(prob), None
-
-        total, _ = lax.scan(body, jnp.float32(0.0), (images, depths))
-        return total
-
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.rand(iters, args.batch, args.size, args.size, 3), jnp.float32
-    )
-    depths = jnp.asarray(
-        rng.rand(iters, args.batch, args.size, args.size, 1), jnp.float32
-    )
-
-    # warmup (compile) + distinct-seed timed repeats, each forced by readback
-    float(bench_fn(variables, images, depths, jnp.float32(-1.0)))
-    times = []
-    for r in range(args.repeats):
-        t0 = time.time()
-        float(bench_fn(variables, images, depths, jnp.float32(r)))
-        times.append(time.time() - t0)
-    sec = min(times)
-    ips = iters * args.batch / sec
+    ips = measure_infer_scan(model, variables, args.size, args.batch, iters, args.repeats)
 
     if args.cpu_baseline_mode:
         with open("bench_baseline.json", "w") as f:
@@ -400,7 +377,7 @@ def main():
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 2) if vs else None,
-                "ms_per_image": round(sec / (iters * args.batch) * 1000, 3),
+                "ms_per_image": round(1000.0 / ips, 3),
                 **train_fields,
                 **extra_fields,
                 "device": str(jax.devices()[0]),

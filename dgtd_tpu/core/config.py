@@ -68,6 +68,17 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
             )
         return i
 
+    def dict_key(node, p):
+        # YAML parses unquoted numeric mapping keys as ints (`384:` →
+        # {384: ...}); a dotted segment is always a string, so resolve
+        # digit segments against an existing int key before falling back
+        # to the string key — otherwise `-o sizes.384.bs=8` would silently
+        # create a parallel {'384': ...} subtree and the override would
+        # never reach the recipe's value.
+        if p not in node and p.lstrip("-").isdigit() and int(p) in node:
+            return int(p)
+        return p
+
     node = cfg
     for p, nxt in zip(parts[:-1], parts[1:]):
         empty: Any = [] if nxt.isdigit() and int(nxt) < 10 else {}
@@ -79,9 +90,10 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
                 node[i] = empty
             node = node[i]
         else:
-            if node.get(p) is None:
-                node[p] = empty
-            node = node[p]
+            k = dict_key(node, p)
+            if node.get(k) is None:
+                node[k] = empty
+            node = node[k]
     last = parts[-1]
     if isinstance(node, list):
         i = list_index(node, last)
@@ -90,7 +102,7 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
         else:
             node[i] = value
     else:
-        node[last] = value
+        node[dict_key(node, last)] = value
 
 
 def get_dotted(cfg: dict, dotted_key: str, default: Any = None) -> Any:
@@ -103,6 +115,12 @@ def get_dotted(cfg: dict, dotted_key: str, default: Any = None) -> Any:
                 return default
         elif isinstance(node, dict) and p in node:
             node = node[p]
+        elif (
+            isinstance(node, dict)
+            and p.lstrip("-").isdigit()
+            and int(p) in node
+        ):  # YAML int keys (see set_dotted.dict_key)
+            node = node[int(p)]
         else:
             return default
     return node

@@ -26,9 +26,7 @@ import numpy as np
 from PIL import Image
 
 from ..core.registry import DATASETS, export
-
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from .device_norm import IMAGENET_MEAN, IMAGENET_STD
 
 
 def _list_dir(root: str, sub: str) -> List[str]:

@@ -18,6 +18,25 @@ import jax
 import numpy as np
 
 
+def _divisible(sharding, shape) -> bool:
+    """True if ``shape`` tiles evenly under a NamedSharding's spec (the
+    device_put requirement); non-NamedSharding objects are assumed fine."""
+    spec = getattr(sharding, "spec", None)
+    mesh = getattr(sharding, "mesh", None)
+    if spec is None or mesh is None:
+        return True
+    for dim, names in enumerate(spec):
+        if names is None or dim >= len(shape):
+            continue
+        names = names if isinstance(names, tuple) else (names,)
+        n = 1
+        for name in names:
+            n *= mesh.shape[name]
+        if shape[dim] % n:
+            return False
+    return True
+
+
 def collate(samples) -> Dict[str, Any]:
     """Stack sample dicts into NHWC numpy batches; pass strings through."""
     out: Dict[str, Any] = {}
@@ -96,14 +115,26 @@ class DataLoader:
             # 'raw' is host-side only (visualization naming / PNG dumps,
             # reference cod.py:156-217) — never shipped to the device.
             batch = {
-                k: (
-                    jax.device_put(v, self.sharding) if self.sharding is not None else jax.device_put(v)
-                )
-                if isinstance(v, np.ndarray) and k != "raw"
-                else v
+                k: self._put(v) if isinstance(v, np.ndarray) and k != "raw" else v
                 for k, v in batch.items()
             }
         return batch
+
+    def _put(self, v: np.ndarray):
+        s = self.sharding
+        if s is None:
+            return jax.device_put(v)
+        # Tail batches (drop_last=False eval epochs) can be smaller than the
+        # configured batch and stop dividing the mesh's data axis; fall back
+        # to a replicated placement on the SAME mesh so jitted steps traced
+        # with mesh-wide sharding constraints still see compatible devices.
+        if not _divisible(s, v.shape):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh = getattr(s, "mesh", None)
+            if mesh is not None:
+                return jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
+        return jax.device_put(v, s)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         idx = self._epoch_indices()

@@ -18,7 +18,8 @@ Axes:
 from __future__ import annotations
 
 import contextlib
-from typing import Optional, Sequence, Tuple
+import contextvars
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
@@ -60,11 +61,15 @@ def initialize_multihost(coordinator: Optional[str] = None) -> None:
 # Ambient-mesh activation constraints (2-D data×space sharding)
 # ---------------------------------------------------------------------------
 
-#: Mesh made visible to model code while TRACING a sharded step. Model
-#: modules call :func:`spatial_constraint` on activations; with no active
-#: mesh (single-chip, tests, serving export) it is an exact no-op, so the
+#: Mesh made visible to model code while TRACING a sharded step (a true
+#: ``contextvars.ContextVar`` so concurrent traces on other threads can't
+#: observe another thread's mesh). Model modules call
+#: :func:`spatial_constraint` on activations; with no active mesh
+#: (single-chip, tests, serving export) it is an exact no-op, so the
 #: constraint surface costs nothing outside the sharded train path.
-_ACTIVE_MESH: Optional[Mesh] = None
+_ACTIVE_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "dgtd_active_mesh", default=None
+)
 
 
 @contextlib.contextmanager
@@ -74,13 +79,11 @@ def active_mesh(mesh: Optional[Mesh]):
     Only tracing needs the context (the constraint is baked into the jaxpr);
     execution does not.
     """
-    global _ACTIVE_MESH
-    old = _ACTIVE_MESH
-    _ACTIVE_MESH = mesh
+    token = _ACTIVE_MESH.set(mesh)
     try:
         yield
     finally:
-        _ACTIVE_MESH = old
+        _ACTIVE_MESH.reset(token)
 
 
 def spatial_constraint(x):
@@ -98,7 +101,7 @@ def spatial_constraint(x):
     Dims that don't divide the mesh axis are left unconstrained (e.g. H=1
     stage-4 features of tiny test configs).
     """
-    mesh = _ACTIVE_MESH
+    mesh = _ACTIVE_MESH.get()
     if mesh is None or not hasattr(x, "ndim") or x.ndim < 2:
         return x
     data = mesh.shape.get("data", 1)
@@ -120,6 +123,6 @@ def spatial_constraint(x):
     # level divides, so the whole backbone stays 2-D sharded.
     if x.ndim >= 3 and x.shape[1] % space == 0:
         spec_dims[1] = "space"
-    if spec_dims[0] is None and all(d is None for d in spec_dims):
+    if all(d is None for d in spec_dims):
         return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec_dims)))

@@ -36,8 +36,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from ..data.device_norm import IMAGENET_MEAN, IMAGENET_STD
 
 METRIC_NAMES = ("Emeasure", "Fmeasure", "Smeasure", "MAE")
 

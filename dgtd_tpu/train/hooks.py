@@ -37,6 +37,11 @@ class Hook:
     def after_train_epoch(self, runner):
         pass
 
+    def after_train(self, runner):
+        """Fired once when training ends — normal completion AND the
+        preemption early-return (the loop dispatches it from a finally)."""
+        pass
+
 
 @export
 @HOOKS.register
@@ -123,6 +128,18 @@ class ProfilerHook(Hook):
             self._active = False
             self._done = True
             runner.log({"profile": out, "step": step})
+
+    def after_train(self, runner):
+        # A run that ends (or is preempted) inside the trace window would
+        # otherwise never stop_trace — the profile dir is left truncated and
+        # a later start_trace in the same process raises "already started".
+        if self._active:
+            jax.block_until_ready(runner.state.params)
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            out = self.out_dir or os.path.join(runner.work_dir, "profile")
+            runner.log({"profile": out, "step": runner.host_step, "truncated": True})
 
 
 @export

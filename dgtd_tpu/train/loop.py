@@ -141,13 +141,26 @@ class Runner:
         ds_cfg = dict(loader_cfg["dataset"])
         dataset = DATASETS.build(ds_cfg)
         sampler = loader_cfg.get("sampler", {}) or {}
+        batch_size = int(loader_cfg.get("batch_size", 1))
+        # Val batches must land with a MESH-compatible placement: the eval
+        # steps are traced under active_mesh, so when the val batch divides
+        # the data axis the in-jit sharding constraints reference all mesh
+        # devices — an unsharded (device-0-committed) input would raise
+        # "incompatible devices" at the first val batch on a multi-chip
+        # host. Divisible batches shard like train; others (the reference's
+        # bs-1 ValLoop) are replicated across the mesh, which every
+        # constraint accepts.
+        if train or batch_size % self.mesh.shape["data"] == 0:
+            sharding = self.data_sharding
+        else:
+            sharding = self.repl_sharding
         return DataLoader(
             dataset,
-            batch_size=int(loader_cfg.get("batch_size", 1)),
+            batch_size=batch_size,
             shuffle=bool(sampler.get("shuffle", train)),
             seed=self.seed,
             drop_last=train,
-            sharding=self.data_sharding if train else None,
+            sharding=sharding,
             num_workers=int(loader_cfg.get("num_workers", 0)),
         )
 
@@ -244,22 +257,28 @@ class Runner:
         for h in self.hooks:
             h.before_train(self)
         assert self.train_loader is not None, "recipe has no train_dataloader"
-        while self.epoch < self.max_epochs:
-            self.epoch += 1
-            for batch in self.train_loader:
-                arrays = {k: batch[k] for k in ("input", "label", "depth")}
-                self.state, aux = self._train_step(self.state, arrays, self.train_rng)
-                self.host_step += 1
+        try:
+            while self.epoch < self.max_epochs:
+                self.epoch += 1
+                for batch in self.train_loader:
+                    arrays = {k: batch[k] for k in ("input", "label", "depth")}
+                    self.state, aux = self._train_step(self.state, arrays, self.train_rng)
+                    self.host_step += 1
+                    for h in self.hooks:
+                        h.after_train_iter(self, aux)
+                    if getattr(self, "_stop_requested", False):
+                        path = self.save_checkpoint(f"preempt_step_{self.host_step}")
+                        self.log({"preempted": True, "checkpoint": path})
+                        return
                 for h in self.hooks:
-                    h.after_train_iter(self, aux)
-                if getattr(self, "_stop_requested", False):
-                    path = self.save_checkpoint(f"preempt_step_{self.host_step}")
-                    self.log({"preempted": True, "checkpoint": path})
-                    return
+                    h.after_train_epoch(self)
+                if self.val_interval and self.epoch % self.val_interval == 0 and self.val_loader:
+                    self.val(during_train=True)
+        finally:
+            # finally: the preemption early-return and exceptions must also
+            # release end-of-train resources (e.g. an open profiler trace)
             for h in self.hooks:
-                h.after_train_epoch(self)
-            if self.val_interval and self.epoch % self.val_interval == 0 and self.val_loader:
-                self.val(during_train=True)
+                h.after_train(self)
 
     # ------------------------------------------------------------------
     def val(self, during_train: bool = False, save_visualizations: bool = False) -> Dict[str, float]:
@@ -343,8 +362,8 @@ class Runner:
                 os.path.join(vis_dir, name)
             )
 
-        mean = np.array([0.485, 0.456, 0.406], np.float32)
-        std = np.array([0.229, 0.224, 0.225], np.float32)
+        from ..data.device_norm import IMAGENET_MEAN as mean, IMAGENET_STD as std
+
         input_np = np.asarray(jax.device_get(batch["input"]))
         label_np = np.asarray(jax.device_get(batch["label"]))
         depth_np = np.asarray(jax.device_get(batch["depth"]))

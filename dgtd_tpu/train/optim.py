@@ -15,9 +15,7 @@ registered but commented out of the recipes) is provided in
 
 from __future__ import annotations
 
-import fnmatch
-import math
-from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,23 +48,14 @@ def path_lr_mult(path_str: str, custom_keys: Dict[str, float]) -> float:
 def build_lr_mults(params, custom_keys: Optional[Dict[str, float]] = None):
     """Pytree of per-leaf lr multipliers, matched on '/'-joined param paths."""
     keys = custom_keys if custom_keys is not None else DEFAULT_LR_MULT_KEYS
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def path_to_str(kp) -> str:
-        parts = []
-        for k in kp:
-            if hasattr(k, "key"):
-                parts.append(str(k.key))
-            elif hasattr(k, "idx"):
-                parts.append(str(k.idx))
-            else:
-                parts.append(str(k))
-        return "/".join(parts)
-
-    mults = {path_to_str(kp): path_lr_mult(path_to_str(kp), keys) for kp, _ in flat}
     return jax.tree_util.tree_map_with_path(
-        lambda kp, _: mults[path_to_str(kp)], params
+        lambda kp, _: path_lr_mult(_keypath_str(kp), keys), params
     )
+
+
+def _keypath_str(kp) -> str:
+    """'/'-joined param path from a tree_map_with_path key path."""
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
 
 
 def scale_by_lr_mults(mults) -> optax.GradientTransformation:
@@ -164,15 +153,8 @@ def scale_by_adam_bf16(
 
 def build_freeze_mask(params, prefixes: Tuple[str, ...]):
     """Pytree of python bools: True = leaf path starts with a frozen prefix."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def path_to_str(kp) -> str:
-        return "/".join(
-            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
-        )
-
     return jax.tree_util.tree_map_with_path(
-        lambda kp, _: any(path_to_str(kp).startswith(p) for p in prefixes), params
+        lambda kp, _: any(_keypath_str(kp).startswith(p) for p in prefixes), params
     )
 
 

@@ -83,6 +83,18 @@ def test_set_dotted_creates_list_entries():
     # error instead of a bare int() ValueError
     with pytest.raises(ValueError, match="must be an integer index"):
         set_dotted({"xs": [1, 2]}, "xs.abc", 3)
+    # YAML parses unquoted numeric mapping keys as INTs ({384: ...}); the
+    # dotted string segment must resolve to that int key instead of creating
+    # a parallel string-keyed subtree (which would be a silent override no-op)
+    import yaml
+
+    cfg4 = yaml.safe_load("sizes:\n  384:\n    bs: 4\n")
+    assert 384 in cfg4["sizes"]  # int key, as yaml parses it
+    set_dotted(cfg4, "sizes.384.bs", 8)
+    assert cfg4["sizes"][384]["bs"] == 8 and "384" not in cfg4["sizes"]
+    from dgtd_tpu.core.config import get_dotted
+
+    assert get_dotted(cfg4, "sizes.384.bs") == 8
 
 
 def test_depth_gen_resizes_depth_before_colormap(tmp_path):

@@ -275,6 +275,47 @@ def test_profiler_hook_fires_on_resume(tmp_path, monkeypatch):
     assert [e[0] for e in events] == ["start", "stop"]
 
 
+def test_profiler_hook_stops_trace_when_run_ends_in_window(tmp_path, monkeypatch):
+    """A run that ends (max_epochs reached, or preempted) INSIDE the trace
+    window must stop_trace from after_train — otherwise the profile dir is
+    left truncated and a later start_trace raises 'already started'."""
+    from dgtd_tpu.train.hooks import ProfilerHook
+
+    events = []
+    monkeypatch.setattr(jax.profiler, "start_trace", lambda out: events.append(("start", out)))
+    monkeypatch.setattr(jax.profiler, "stop_trace", lambda: events.append(("stop",)))
+
+    class S:
+        params = jnp.zeros((1,))
+
+    class R:
+        work_dir = str(tmp_path)
+        state = S()
+        records = []
+
+        def log(self, rec):
+            self.records.append(rec)
+
+    r = R()
+    h = ProfilerHook(start_step=3, num_steps=10)
+    for step in range(1, 5):  # run ends at step 4, window open until 13
+        r.host_step = step
+        h.after_train_iter(r, {})
+    assert [e[0] for e in events] == ["start"]
+    h.after_train(r)
+    assert [e[0] for e in events] == ["start", "stop"]
+    assert any(rec.get("truncated") for rec in r.records)
+    h.after_train(r)  # idempotent
+    assert [e[0] for e in events] == ["start", "stop"]
+    # the real loop dispatches after_train even on the preemption return
+    import inspect
+
+    from dgtd_tpu.train.loop import Runner
+
+    src = inspect.getsource(Runner._train_body)
+    assert "finally" in src and "after_train(self)" in src
+
+
 def test_stochastic_round_bf16_unbiased_and_exact():
     """The bf16 optimizer-state quantizer: exact on representable values,
     unbiased in expectation between them (nearest-rounding would freeze the
@@ -378,3 +419,35 @@ def test_loader_propagates_producer_errors():
     dl = DataLoader(Bad(), batch_size=2, device_put=False, prefetch=2)
     with pytest.raises(OSError, match="corrupt image"):
         list(dl)
+
+
+def test_loader_tail_batch_falls_back_to_replicated():
+    """drop_last=False epochs end in a tail batch that may not divide the
+    mesh's data axis; the loader must place it REPLICATED on the same mesh
+    (not crash device_put, not commit to device 0 — jitted eval steps traced
+    under active_mesh carry mesh-wide constraints)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from dgtd_tpu.data.loader import DataLoader, _divisible
+    from dgtd_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(data=8, space=1)
+    sharding = batch_sharding(mesh)
+
+    class DS:
+        def __len__(self):
+            return 12
+
+        def get(self, i, rng=None):
+            return {"input": np.full((4, 4, 3), i, np.float32), "raw": f"r{i}"}
+
+    dl = DataLoader(DS(), batch_size=8, sharding=sharding, prefetch=0)
+    batches = list(dl)
+    assert [b["input"].shape[0] for b in batches] == [8, 4]
+    assert batches[0]["input"].sharding.spec == P("data")  # full batch: sharded
+    tail = batches[1]["input"].sharding
+    assert tail.is_fully_replicated and tail.mesh.shape == mesh.shape
+    assert batches[0]["raw"] == [f"r{i}" for i in range(8)]  # host-side passthrough
+    # the helper itself
+    assert _divisible(sharding, (8, 4, 4, 3)) and not _divisible(sharding, (4, 4, 4, 3))

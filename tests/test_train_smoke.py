@@ -320,3 +320,33 @@ def test_pretrain_init_actually_grafts(runner, tmp_path):
 
     with _pytest.raises(ValueError, match="0 of 1 pretrain arrays"):
         our_init(backbone_ckpt=str(wrong), convnext_ckpt=None).before_train(runner)
+
+
+@pytest.mark.slow
+def test_val_with_mesh_divisible_batch(runner):
+    """Regression: a val batch that DIVIDES the 8-device data axis makes the
+    eval step's in-jit sharding constraints reference every mesh device —
+    with the old unsharded (device-0-committed) val loader this raised
+    'incompatible devices' on the first batch. _build_loader must shard
+    divisible val batches and replicate tails (here: 12 images, bs 8 ->
+    one sharded batch + one replicated tail)."""
+    from dgtd_tpu.data.datasets import SyntheticSODDataset
+    from dgtd_tpu.core.registry import DATASETS
+
+    class _ValShardFixture(SyntheticSODDataset):
+        train_mode = False
+
+    try:
+        DATASETS.register(_ValShardFixture)
+    except Exception:
+        pass  # already registered by a prior parametrization
+    old = runner.val_loader
+    runner.val_loader = runner._build_loader(
+        {"dataset": {"type": "_ValShardFixture", "n": 12, "size": 48}, "batch_size": 8},
+        train=False,
+    )
+    try:
+        results = runner.val()
+    finally:
+        runner.val_loader = old
+    assert "COD/Smeasure" in results and np.isfinite(results["COD/MAE"])
