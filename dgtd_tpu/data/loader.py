@@ -18,6 +18,87 @@ import jax
 import numpy as np
 
 
+def _batch_axis_size(sharding) -> int:
+    """Product of mesh axes sharding dim 0 (1 when unsharded/unknown)."""
+    spec = getattr(sharding, "spec", None)
+    mesh = getattr(sharding, "mesh", None)
+    if not spec or mesh is None or spec[0] is None:
+        return 1
+    names = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    n = 1
+    for name in names:
+        n *= mesh.shape[name]
+    return n
+
+
+def local_row_slices(sharding, batch_size: int, addressable=None):
+    """Per-addressable-device global-row ranges of a dim-0-sharded batch.
+
+    Returns ``(rows, dev_slices)``: ``rows`` is the sorted list of global row
+    indices THIS process must materialize, and ``dev_slices`` maps each
+    addressable device to its ``slice`` of the global batch dim. On a
+    multi-host pod each process only ever decodes its own rows — the
+    torch-DistributedSampler shard, derived here from the sharding itself
+    instead of a rank arithmetic convention. ``addressable`` is the
+    device predicate (default: the device belongs to this process); tests
+    inject a fake predicate to simulate multi-host splits in one process.
+    """
+    mesh = sharding.mesh
+    spec0 = sharding.spec[0] if sharding.spec else None
+    row_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(spec0)
+    )
+    if addressable is None:
+        pid = jax.process_index()
+        addressable = lambda d: d.process_index == pid
+    imap = row_sharding.devices_indices_map((batch_size,))
+    dev_slices = {}
+    rows = set()
+    for d, idx in imap.items():
+        if not addressable(d):
+            continue
+        (sl,) = idx
+        start = 0 if sl.start is None else sl.start
+        stop = batch_size if sl.stop is None else sl.stop
+        dev_slices[d] = slice(start, stop)
+        rows.update(range(start, stop))
+    return sorted(rows), dev_slices
+
+
+def _dim0_only(sharding) -> bool:
+    """True if the spec shards nothing but dim 0 (trailing entries None)."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        return False
+    return all(e is None for e in list(spec)[1:])
+
+
+def _assemble_global(
+    v: np.ndarray, gshape, sharding, row_of: Dict[int, int]
+) -> jax.Array:
+    """Build a global jax.Array from the host rows THIS process holds.
+
+    ``v`` carries a subset of the global batch's rows; ``row_of`` maps a
+    global row index to its position in ``v``. Each addressable device gets
+    exactly its shard (rows × any trailing-dim slice) via device_put, and
+    the shards are stitched into one global array — the multi-host
+    equivalent of ``jax.device_put(global_v, sharding)`` without any
+    process ever materializing rows it doesn't own.
+    """
+    imap = sharding.devices_indices_map(tuple(gshape))
+    pid = jax.process_index()
+    arrays = []
+    for d, idx in imap.items():
+        if d.process_index != pid:
+            continue
+        sl = idx[0] if idx else slice(None)
+        start = 0 if sl.start is None else sl.start
+        stop = gshape[0] if sl.stop is None else sl.stop
+        local = v[[row_of[g] for g in range(start, stop)]]
+        arrays.append(jax.device_put(local[(slice(None),) + tuple(idx[1:])], d))
+    return jax.make_array_from_single_device_arrays(tuple(gshape), sharding, arrays)
+
+
 def _divisible(sharding, shape) -> bool:
     """True if ``shape`` tiles evenly under a NamedSharding's spec (the
     device_put requirement); non-NamedSharding objects are assumed fine."""
@@ -106,6 +187,26 @@ class DataLoader:
             )
             return self.dataset.get(int(i), rng)
 
+        # Multi-host: decode only the rows whose shards live on THIS
+        # process's devices (the torch-DistributedSampler shard, derived
+        # from the sharding instead of rank arithmetic — every host decoding
+        # the full global batch would multiply host work by process_count).
+        # Restricted to dim-0-only specs: their divisibility is decided by
+        # the batch size alone, before any sample shape is known.
+        global_batch = len(indices)
+        row_of: Optional[Dict[int, int]] = None
+        if (
+            self.device_put
+            and self.sharding is not None
+            and jax.process_count() > 1
+            and _dim0_only(self.sharding)
+            and global_batch % _batch_axis_size(self.sharding) == 0
+        ):
+            rows, _ = local_row_slices(self.sharding, global_batch)
+            if len(rows) < global_batch:
+                row_of = {g: i for i, g in enumerate(rows)}
+                indices = [indices[r] for r in rows]
+
         if self._pool is not None:
             samples = list(self._pool.map(fetch, indices))
         else:
@@ -113,17 +214,30 @@ class DataLoader:
         batch = collate(samples)
         if self.device_put:
             # 'raw' is host-side only (visualization naming / PNG dumps,
-            # reference cod.py:156-217) — never shipped to the device.
+            # reference cod.py:156-217) — never shipped to the device. In
+            # the multi-host local-fetch path it holds this process's rows.
             batch = {
-                k: self._put(v) if isinstance(v, np.ndarray) and k != "raw" else v
+                k: self._put(v, global_batch, row_of)
+                if isinstance(v, np.ndarray) and k != "raw"
+                else v
                 for k, v in batch.items()
             }
         return batch
 
-    def _put(self, v: np.ndarray):
+    def _put(
+        self,
+        v: np.ndarray,
+        global_batch: Optional[int] = None,
+        row_of: Optional[Dict[int, int]] = None,
+    ):
         s = self.sharding
         if s is None:
             return jax.device_put(v)
+        if row_of is not None:
+            # multi-host local-fetch: v holds only this process's rows;
+            # divisibility was decided before fetch (dim-0-only spec)
+            gshape = (int(global_batch),) + v.shape[1:]
+            return _assemble_global(v, gshape, s, row_of)
         # Tail batches (drop_last=False eval epochs) can be smaller than the
         # configured batch and stop dividing the mesh's data axis; fall back
         # to a replicated placement on the SAME mesh so jitted steps traced
@@ -133,7 +247,12 @@ class DataLoader:
 
             mesh = getattr(s, "mesh", None)
             if mesh is not None:
-                return jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
+                s = NamedSharding(mesh, PartitionSpec())
+        if jax.process_count() > 1 and getattr(s, "mesh", None) is not None:
+            # multi-process device_put to a global sharding is
+            # version-fragile; assemble explicitly from local shards
+            ident = {g: g for g in range(v.shape[0])}
+            return _assemble_global(v, v.shape, s, ident)
         return jax.device_put(v, s)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

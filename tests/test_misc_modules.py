@@ -451,3 +451,90 @@ def test_loader_tail_batch_falls_back_to_replicated():
     assert batches[0]["raw"] == [f"r{i}" for i in range(8)]  # host-side passthrough
     # the helper itself
     assert _divisible(sharding, (8, 4, 4, 3)) and not _divisible(sharding, (4, 4, 4, 3))
+
+
+def test_local_row_slices_multihost_split():
+    """Multi-host data loading: each process decodes ONLY the global-batch
+    rows its devices own (DistributedSampler parity, derived from the
+    sharding itself). Simulated with a fake addressability predicate."""
+    from dgtd_tpu.data.loader import _batch_axis_size, _dim0_only, local_row_slices
+    from dgtd_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(data=8, space=1)
+    s = batch_sharding(mesh)
+    assert _dim0_only(s) and _batch_axis_size(s) == 8
+
+    # pretend devices 0-3 belong to "this process": it must own rows 0-7 of 16
+    rows, dev_slices = local_row_slices(s, 16, addressable=lambda d: d.id < 4)
+    assert rows == list(range(8))
+    assert sorted((sl.start, sl.stop) for sl in dev_slices.values()) == [
+        (0, 2), (2, 4), (4, 6), (6, 8),
+    ]
+    # the other "process"
+    rows2, _ = local_row_slices(s, 16, addressable=lambda d: d.id >= 4)
+    assert rows2 == list(range(8, 16))
+    # replicated spec: every process needs every row
+    from dgtd_tpu.parallel.mesh import replicated
+
+    rows3, dev3 = local_row_slices(replicated(mesh), 16, addressable=lambda d: d.id < 4)
+    assert rows3 == list(range(16)) and all(
+        (sl.start, sl.stop) == (0, 16) for sl in dev3.values()
+    )
+    # 2-D data x space spec is NOT dim0-only (fetch restriction must not fire)
+    assert not _dim0_only(batch_sharding(make_mesh(data=4, space=2)))
+
+
+def test_assemble_global_matches_device_put():
+    """_assemble_global stitches per-device shards into the same global array
+    jax.device_put would produce — including through a permuted row_of map
+    (the multi-host local-fetch indirection)."""
+    import jax
+    from dgtd_tpu.data.loader import _assemble_global
+    from dgtd_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+    mesh = make_mesh(data=8, space=1)
+    v = np.arange(16 * 3 * 2, dtype=np.float32).reshape(16, 3, 2)
+    for s in (batch_sharding(mesh), replicated(mesh)):
+        want = jax.device_put(v, s)
+        got = _assemble_global(v, v.shape, s, {g: g for g in range(16)})
+        assert got.sharding == s and np.array_equal(np.asarray(got), v)
+        assert got.shape == want.shape
+    # permuted storage: row_of maps global row -> its position in v
+    perm = np.random.RandomState(0).permutation(16)
+    row_of = {int(g): i for i, g in enumerate(perm)}
+    got = _assemble_global(v[perm], v.shape, batch_sharding(mesh), row_of)
+    # v[perm] stored, row_of says global row g sits at position i where perm[i]=g
+    assert np.array_equal(np.asarray(got), v)
+
+
+def test_loader_multiprocess_branch_assembles(monkeypatch):
+    """With process_count patched >1 the loader routes every placement
+    through explicit shard assembly (multi-process device_put to a global
+    sharding is version-fragile); output must equal the single-process path
+    for both dividing and tail batches."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from dgtd_tpu.data.loader import DataLoader
+    from dgtd_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(data=8, space=1)
+
+    class DS:
+        def __len__(self):
+            return 12
+
+        def get(self, i, rng=None):
+            return {"input": np.full((4, 3), i, np.float32)}
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    dl = DataLoader(DS(), batch_size=8, sharding=batch_sharding(mesh), prefetch=0)
+    batches = list(dl)
+    assert batches[0]["input"].sharding.spec == P("data")
+    assert batches[1]["input"].sharding.is_fully_replicated
+    assert np.array_equal(
+        np.asarray(batches[0]["input"])[:, 0, 0], np.arange(8, dtype=np.float32)
+    )
+    assert np.array_equal(
+        np.asarray(batches[1]["input"])[:, 0, 0], np.arange(8, 12, dtype=np.float32)
+    )
