@@ -350,3 +350,44 @@ def test_val_with_mesh_divisible_batch(runner):
     finally:
         runner.val_loader = old
     assert "COD/Smeasure" in results and np.isfinite(results["COD/MAE"])
+
+
+@pytest.mark.slow
+def test_elastic_resume_across_topologies(tmp_path):
+    """Fault-tolerance: a checkpoint written on the 8x1 pure-DP mesh resumes
+    on a 4x2 data-x-space mesh (state is replicated, so resume is
+    topology-agnostic by construction — this pins it). The reference has no
+    elastic story at all (static torchrun world, SURVEY.md §5)."""
+    from dgtd_tpu.data.datasets import SyntheticSODDataset
+    from dgtd_tpu.data.loader import DataLoader
+    from dgtd_tpu.parallel.mesh import make_mesh
+    from dgtd_tpu.train.loop import Runner
+
+    def build(workdir, mesh):
+        r = Runner(tiny_cfg(workdir), work_dir=str(workdir), mesh=mesh, dtype=jnp.float32)
+        train_ds = SyntheticSODDataset(n=8, size=48)
+        r.train_loader = DataLoader(
+            train_ds, batch_size=8, shuffle=True, sharding=r.data_sharding, drop_last=True
+        )
+        r.val_loader = None
+        r.batch_size = 8
+        return r
+
+    r1 = build(tmp_path / "a", make_mesh(data=8, space=1))
+    r1.train()
+    assert r1.host_step == 1
+    path = r1.save_checkpoint("epoch_1")
+    p0 = jax.device_get(r1.state.params)
+
+    r2 = build(tmp_path / "b", make_mesh(data=4, space=2))
+    r2.resume(path)
+    assert r2.host_step == 1 and r2.epoch == 1
+    # restored params are bit-identical to what the 8x1 run saved
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p0,
+        jax.device_get(r2.state.params),
+    )
+    r2.max_epochs = 2
+    r2.train()  # one more step on the NEW topology
+    assert r2.host_step == 2 and int(r2.state.step) == 2

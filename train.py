@@ -43,10 +43,16 @@ def main():
 
     cfg = load_config(args.config, args.override)
     initialize_multihost(get_dotted(cfg, "dist.coordinator"))
+    # -o dist.space=2 selects the 2-D data×space mesh (high-res extension,
+    # SURVEY.md §2.9); default is the pure-DP topology (DDP parity).
+    from dgtd_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(space=int(get_dotted(cfg, "dist.space", 1)))
     runner = Runner(
         cfg,
         work_dir=get_dotted(cfg, "work_dir", "./output/run"),
         seed=int(get_dotted(cfg, "seed", 0)),
+        mesh=mesh,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         mode=args.mode,
     )
