@@ -20,11 +20,20 @@ _LIB = os.path.join(_HERE, "libpixelops.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_build_lock = __import__("threading").Lock()
 
 
 def _ensure_built() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
+        return _lib
+    with _build_lock:
+        return _ensure_built_locked()
+
+
+def _ensure_built_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:  # built while waiting on the lock
         return _lib
     try:
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):

@@ -276,9 +276,13 @@ class Runner:
                     self.val(during_train=True)
         finally:
             # finally: the preemption early-return and exceptions must also
-            # release end-of-train resources (e.g. an open profiler trace)
+            # release end-of-train resources (e.g. an open profiler trace);
+            # a hook failure here must never mask a propagating train error
             for h in self.hooks:
-                h.after_train(self)
+                try:
+                    h.after_train(self)
+                except Exception as e:  # noqa: BLE001
+                    self.log({"after_train_hook_error": f"{type(h).__name__}: {e}"})
 
     # ------------------------------------------------------------------
     def val(self, during_train: bool = False, save_visualizations: bool = False) -> Dict[str, float]:
