@@ -10,12 +10,20 @@ layout (no post-hoc reshards).
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from typing import Any, Dict, Iterator, Optional
 
 import jax
 import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _indices_map(sharding, shape):
+    """Memoized device→index-tuple map (recomputing per batch is pure
+    overhead on large meshes; NamedSharding and shape tuples are hashable)."""
+    return sharding.devices_indices_map(shape)
 
 
 def _batch_axis_size(sharding) -> int:
@@ -51,7 +59,7 @@ def local_row_slices(sharding, batch_size: int, addressable=None):
     if addressable is None:
         pid = jax.process_index()
         addressable = lambda d: d.process_index == pid
-    imap = row_sharding.devices_indices_map((batch_size,))
+    imap = _indices_map(row_sharding, (batch_size,))
     dev_slices = {}
     rows = set()
     for d, idx in imap.items():
@@ -85,7 +93,7 @@ def _assemble_global(
     equivalent of ``jax.device_put(global_v, sharding)`` without any
     process ever materializing rows it doesn't own.
     """
-    imap = sharding.devices_indices_map(tuple(gshape))
+    imap = _indices_map(sharding, tuple(gshape))
     pid = jax.process_index()
     arrays = []
     for d, idx in imap.items():
