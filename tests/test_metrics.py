@@ -219,3 +219,56 @@ def test_process_stats_equals_process():
         hv, dv = host.compute(), dev.compute()
         for k in hv:
             np.testing.assert_allclose(dv[k], hv[k], rtol=1e-4, atol=1e-6, err_msg=f"{cls.__name__} {k}")
+
+
+def test_eval_folder_tool(tmp_path):
+    """Standalone folder evaluation: perfect predictions score perfectly,
+    resolution-mismatched maps get upsampled to GT size, and pairing is
+    stem-checked (sorted-order misalignment fails loudly)."""
+    import json as _json
+
+    from PIL import Image
+
+    from dgtd_tpu.tools.eval_folder import main, run_eval
+
+    rng = np.random.RandomState(0)
+    pred_d = tmp_path / "pred"
+    gt_d = tmp_path / "gt"
+    pred_d.mkdir(), gt_d.mkdir()
+    yy, xx = np.mgrid[0:40, 0:52]
+    for i in range(4):
+        # smooth blob masks (random speckle wouldn't survive the half-res
+        # roundtrip below and would make the near-perfect assertion vacuous)
+        cy, cx, r = rng.randint(10, 30), rng.randint(14, 38), rng.randint(8, 14)
+        gt = (((yy - cy) ** 2 + (xx - cx) ** 2 < r * r) * 255).astype(np.uint8)
+        Image.fromarray(gt).save(gt_d / f"im{i}.png")
+        # prediction == GT but saved at half resolution (upsampled on read)
+        Image.fromarray(gt).resize((26, 20), Image.NEAREST).save(pred_d / f"im{i}.png")
+
+    results, n = run_eval(str(pred_d), str(gt_d), ("Smeasure", "MAE"))
+    assert n == 4
+    assert results["COD/Smeasure"] > 0.8  # near-perfect (half-res roundtrip)
+    assert results["COD/MAE"] < 0.15
+    assert "COD/Smeasure_strict" in results
+
+    # exact-resolution perfect predictions: S == 1, MAE == 0
+    for i in range(4):
+        with Image.open(gt_d / f"im{i}.png") as g:
+            g.save(pred_d / f"im{i}.png")
+    results, _ = run_eval(str(pred_d), str(gt_d), ("Smeasure", "MAE"))
+    assert results["COD/Smeasure"] == pytest.approx(1.0)
+    assert results["COD/MAE"] == pytest.approx(0.0, abs=1e-9)
+
+    # stem mismatch fails loudly unless --no-strict-pairing
+    (pred_d / "im0.png").rename(pred_d / "zz_other.png")
+    with pytest.raises(SystemExit, match="basename mismatch"):
+        run_eval(str(pred_d), str(gt_d), ("MAE",))
+    out = main([
+        "--pred-dir", str(pred_d), "--gt-dir", str(gt_d),
+        "--metrics", "MAE", "--no-strict-pairing",
+    ])
+    assert "COD/MAE" in out
+    # count mismatch
+    (pred_d / "zz_other.png").unlink()
+    with pytest.raises(SystemExit, match="must pair 1:1"):
+        run_eval(str(pred_d), str(gt_d), ("MAE",))
