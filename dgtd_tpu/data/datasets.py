@@ -275,8 +275,10 @@ class SyntheticSODDataset:
 
     train_mode = True
 
-    def __init__(self, n: int = 8, size: int = 96, seed: int = 0):
+    def __init__(self, n: int = 8, size: int = 96, seed: int = 0, uint8_io: bool = False):
         self.size = size
+        #: ship uint8, normalize on device (same contract as FolderSODDataset)
+        self.uint8_io = bool(uint8_io)
         rng = np.random.default_rng(seed)
         self._items = []
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
@@ -296,6 +298,9 @@ class SyntheticSODDataset:
         image, label, depth = self._items[index]
         if rng is not None and rng.random() < 0.5:
             image, label, depth = image[:, ::-1].copy(), label[:, ::-1].copy(), depth[:, ::-1].copy()
+        if self.uint8_io:
+            u8 = lambda a: np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+            return {"raw": image, "input": u8(image), "label": u8(label), "depth": u8(depth)}
         return {
             "raw": image,
             "input": (image - IMAGENET_MEAN) / IMAGENET_STD,

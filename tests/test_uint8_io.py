@@ -120,3 +120,22 @@ def test_eval_and_train_steps_accept_uint8():
     out_f = step({}, jnp.asarray(img_f), jnp.asarray(dep_f))
     np.testing.assert_allclose(float(out_u8), float(out_f), rtol=1e-5)
     assert calls["dtypes"] == (jnp.float32, jnp.float32)
+
+
+def test_synthetic_dataset_uint8_io_matches_float():
+    """SyntheticSODDataset's uint8_io path must agree with its float path
+    after device normalization, to quantization tolerance (the combined
+    bf16_state + uint8_io convergence runs rely on this)."""
+    from dgtd_tpu.data.datasets import SyntheticSODDataset
+    from dgtd_tpu.data.device_norm import normalize_batch
+
+    f = SyntheticSODDataset(n=3, size=24)
+    u = SyntheticSODDataset(n=3, size=24, uint8_io=True)
+    for i in range(3):
+        sf, su = f.get(i), u.get(i)
+        assert su["input"].dtype == np.uint8 and su["label"].dtype == np.uint8
+        nb = normalize_batch({k: jnp.asarray(v) for k, v in su.items() if k != "raw"})
+        # uint8 quantization: 1/255 on the [0,1] plane; /std on the image
+        np.testing.assert_allclose(np.asarray(nb["input"]), sf["input"], atol=0.5 / 255 / 0.224)
+        np.testing.assert_allclose(np.asarray(nb["label"]), sf["label"], atol=0.5 / 255)
+        np.testing.assert_allclose(np.asarray(nb["depth"]), sf["depth"], atol=0.5 / 255)
