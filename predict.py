@@ -98,7 +98,7 @@ def main():
 
     predict = jax.jit(lambda v, im, d: model.predict(v, im, d)[0])
 
-    files = sorted(os.listdir(args.image_dir))
+    files = _list_images(args.image_dir)
     depth_files = _paired_depth_files(files, args.depth_dir)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -135,13 +135,25 @@ def main():
         print(f"{min(start + args.batch, len(files))}/{len(files)}")
 
 
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+
+
+def _list_images(d):
+    """Sorted image files only — a stray non-image entry (.DS_Store, a
+    subdirectory) must not crash the run or shift the sorted depth pairing."""
+    files = sorted(f for f in os.listdir(d) if f.lower().endswith(_IMG_EXTS))
+    if not files:
+        raise SystemExit(f"no image files in {d}")
+    return files
+
+
 def _paired_depth_files(files, depth_dir):
     """Sorted depth listing, validated 1:1 against the image listing — the
     same misalignment class FolderSODDataset._filter_files rejects. Depths
     pair by sorted index, so a count mismatch means silent mispairing."""
     if not depth_dir:
         return None
-    depth_files = sorted(os.listdir(depth_dir))
+    depth_files = _list_images(depth_dir)
     if len(depth_files) != len(files):
         raise SystemExit(
             f"--depth-dir has {len(depth_files)} files but the image dir has "
@@ -159,7 +171,7 @@ def _run_bundle(args, Image, mean, std):
 
     serving = ServingModel.load(args.bundle)
     print(f"bundle: sizes {serving.sizes}, platforms {serving.meta.get('platforms')}")
-    files = sorted(os.listdir(args.image_dir))
+    files = _list_images(args.image_dir)
     depth_files = _paired_depth_files(files, args.depth_dir)
     os.makedirs(args.out_dir, exist_ok=True)
     for i, f in enumerate(files):
