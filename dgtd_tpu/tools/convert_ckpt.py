@@ -19,6 +19,10 @@ Usage:
     python -m dgtd_tpu.tools.convert_ckpt dinov2   dinov2_vitl14_pretrain.pth out.npz
     python -m dgtd_tpu.tools.convert_ckpt dpt_head dinov2_vitl14_nyu_dpt_head.pth out.npz
 
+The INVERSE direction also works — trained dgtd_tpu checkpoints run on the
+reference torch stack (bit-exact round trip, tests/test_convert_ckpt.py):
+    python -m dgtd_tpu.tools.convert_ckpt export work_dir/epoch_100 out.pth [template_ref.pth]
+
 The last two feed the offline depther (models/dinov2.py + models/dpt.py,
 reference dino.py:104-138); see tools/depth_gen.py --estimator dinov2.
 """
@@ -491,9 +495,114 @@ def convert_state_dict(
     return out, skipped
 
 
+# ---------------------------------------------------------------------------
+# Inverse direction: dgtd_tpu checkpoint -> reference-schema state dict.
+# Every transform in the full map is a pure transposition, so the same key
+# tables drive both directions; the template (a reference state_dict, e.g.
+# random-init via tools/ref_oracle.py) supplies the key universe plus values
+# for the reference's dead modules (ca/sa/adaptor/num_batches_tracked),
+# which have no counterpart in our tree.
+# ---------------------------------------------------------------------------
+
+_INVERSE_TF = {
+    _conv_w: lambda a: np.transpose(a, (3, 2, 0, 1)),
+    _lin_w: _lin_w,  # self-inverse
+    _ident: _ident,
+}
+
+
+def export_state_dict(
+    flat: Dict[str, np.ndarray], template: Dict[str, np.ndarray]
+) -> Tuple[Dict[str, np.ndarray], list]:
+    """Fill a reference-schema ``template`` state dict from our flat tree.
+
+    ``flat``: {'params/...': array, 'batch_stats/...': array} ('params/'
+    prefix optional — the ``convert_ckpt full`` bare layout is accepted).
+    Returns (state_dict_arrays, keys_left_at_template_values). Trained
+    dgtd_tpu weights exported this way run on the ACTUAL reference torch
+    stack (validated bit-exact round-trip in tests/test_convert_ckpt.py).
+    """
+    flat = {
+        k if k.startswith(("params/", "batch_stats/")) else f"params/{k}": np.asarray(v)
+        for k, v in flat.items()
+    }
+    out: Dict[str, np.ndarray] = {}
+    left = []
+    for rkey, tval in template.items():
+        hit = map_full_key(rkey, "params")
+        prefix = "params/"
+        if hit is None:
+            hit = map_full_key(rkey, "batch_stats")
+            prefix = "batch_stats/"
+        src = None if hit is None else flat.get(prefix + _normalize_path(hit[0]))
+        if src is None:
+            out[rkey] = np.asarray(tval)
+            left.append(rkey)
+            continue
+        arr = _INVERSE_TF[hit[1]](src)
+        tshape = tuple(np.asarray(tval).shape)
+        if arr.shape != tshape:
+            raise ValueError(
+                f"export: {rkey} expects shape {tshape}, our tree has {arr.shape}"
+            )
+        out[rkey] = arr
+    return out, left
+
+
+def _load_flat_ours(path: str) -> Dict[str, np.ndarray]:
+    """Our checkpoint (orbax dir / trainer npz / convert-full npz) as a flat
+    {'params/...', 'batch_stats/...'} mapping."""
+    from ..train.hooks import flatten_tree, load_npz_tree
+
+    if not path.endswith(".npz"):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        restored = dict(restored) if not isinstance(restored, dict) else restored
+        if not ({"params", "batch_stats"} & restored.keys()):
+            restored = {"params": restored}
+        return flatten_tree(
+            {k: restored[k] for k in ("params", "batch_stats") if k in restored}
+        )
+    return load_npz_tree(path)
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
-    if len(argv) != 3 or argv[0] not in ("pvt", "convnext", "full", "dinov2", "dpt_head"):
+    kinds = ("pvt", "convnext", "full", "dinov2", "dpt_head")
+    if argv and argv[0] == "export":
+        if len(argv) not in (3, 4):
+            print(
+                "usage: convert_ckpt export <ours.npz|orbax_dir> <out.pth> "
+                "[template_ref.pth]\n(no template: a random-init reference "
+                "state_dict is built via tools/ref_oracle.py)"
+            )
+            sys.exit(1)
+        import torch
+
+        flat = _load_flat_ours(argv[1])
+        if len(argv) == 4:
+            tmpl = torch.load(argv[3], map_location="cpu", weights_only=False)
+            for wrap in ("model", "state_dict"):
+                if isinstance(tmpl, dict) and wrap in tmpl:
+                    tmpl = tmpl[wrap]
+            template = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in tmpl.items()}
+        else:
+            from .ref_oracle import load_reference_cod
+
+            template = {
+                k: v.numpy() for k, v in load_reference_cod().cod().state_dict().items()
+            }
+        out, left = export_state_dict(flat, template)
+        # as_tensor(copy) keeps 0-d counters 0-d (ascontiguousarray promotes
+        # scalars to shape-(1,), which torch load_state_dict then rejects)
+        torch.save({k: torch.as_tensor(np.array(v)) for k, v in out.items()}, argv[2])
+        print(f"exported {len(out) - len(left)} tensors -> {argv[2]}; "
+              f"{len(left)} left at template values (dead modules)")
+        return
+    if len(argv) != 3 or argv[0] not in kinds:
         print(__doc__)
         sys.exit(1)
     kind, src, dst = argv

@@ -165,3 +165,48 @@ def test_convnext_conversion_covers_tower():
     # FPN head (lateral/fusion) has no official-ckpt source — everything else covers
     assert all(m.startswith(("lateral", "fusion")) for m in missed), missed
     assert len(loaded) == len(flat)
+
+
+def test_inverse_transforms_roundtrip():
+    """export's inverse transposes undo the forward layout transforms."""
+    from dgtd_tpu.tools.convert_ckpt import _INVERSE_TF, _conv_w, _ident, _lin_w
+
+    rng = np.random.RandomState(3)
+    conv = rng.randn(8, 4, 3, 3).astype(np.float32)  # torch OIHW
+    lin = rng.randn(6, 5).astype(np.float32)
+    vec = rng.randn(7).astype(np.float32)
+    np.testing.assert_array_equal(_INVERSE_TF[_conv_w](_conv_w(conv)), conv)
+    np.testing.assert_array_equal(_INVERSE_TF[_lin_w](_lin_w(lin)), lin)
+    np.testing.assert_array_equal(_INVERSE_TF[_ident](_ident(vec)), vec)
+
+
+@pytest.mark.slow
+def test_export_roundtrips_reference_state_dict():
+    """convert full -> export reproduces the ACTUAL reference cod state_dict
+    bit-exactly on every mapped key (trained dgtd_tpu weights can run on the
+    reference torch stack), and the exported dict load_state_dicts cleanly."""
+    import torch
+
+    from dgtd_tpu.tools.convert_ckpt import export_state_dict
+    from dgtd_tpu.tools.ref_oracle import load_reference_cod
+
+    model = load_reference_cod().cod()
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+    flat, skipped = convert_state_dict(sd, "full")
+    # zero the template's float tensors: every exported value must come from
+    # OUR flat tree, not leak through from the template
+    template = {
+        k: (np.zeros_like(v) if v.dtype.kind == "f" else v) for k, v in sd.items()
+    }
+    out, left = export_state_dict(flat, template)
+    matched = sorted(set(sd) - set(left))
+    assert len(matched) > 700, f"only {len(matched)} keys round-trip"
+    for k in matched:
+        np.testing.assert_array_equal(out[k], sd[k], err_msg=k)
+    # keys left at template values are exactly the forward conversion's
+    # skipped set (the reference's dead modules + counters)
+    assert set(left) == set(skipped)
+    tensors = {k: torch.as_tensor(np.array(v)) for k, v in out.items()}
+    assert all(tensors[k].shape == v.shape for k, v in model.state_dict().items())
+    missing, unexpected = model.load_state_dict(tensors)
+    assert not missing and not unexpected
