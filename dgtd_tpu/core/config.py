@@ -81,6 +81,12 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
 
     node = cfg
     for p, nxt in zip(parts[:-1], parts[1:]):
+        # Missing-parent heuristic: a small numeric next segment creates a
+        # LIST (custom_hooks.0.type), a large one a DICT with a string key
+        # (sizes.384.bs — numeric recipe keys). The two uses are ambiguous
+        # without a schema; note that a genuinely skipped large list index
+        # (custom_hooks.12 on an absent block) therefore creates a dict and
+        # fails later at the consumer, not here.
         empty: Any = [] if nxt.isdigit() and int(nxt) < 10 else {}
         if isinstance(node, list):
             i = list_index(node, p)

@@ -181,7 +181,10 @@ class FolderSODDataset:
         inp = resize(img_u8, flip)
         label = resize(self._decode(self.gts[index], "L")[..., None], flip)
         depth = resize(self._decode(self.depths[index], "L")[..., None], flip)
-        raw = self.images[index] if self.raw_as_path else resize(img_u8, False)
+        if self.raw_as_path:
+            raw = self.images[index]
+        else:  # unflipped resize == inp when not flipped: skip the rework
+            raw = inp if not flip else resize(img_u8, False)
         return {"raw": raw, "input": inp, "label": label, "depth": depth}
 
     # torch-style convenience (no augmentation rng)

@@ -220,6 +220,14 @@ class DataLoader:
         else:
             samples = [fetch(i) for i in indices]
         batch = collate(samples)
+        if row_of is not None and "raw" in batch:
+            # keep 'raw' indexable by GLOBAL row (array fields are global):
+            # non-local rows hold None so consumers can't silently mispair
+            raw_local = batch["raw"]
+            batch["raw"] = [
+                raw_local[row_of[g]] if g in row_of else None
+                for g in range(global_batch)
+            ]
         if self.device_put:
             # 'raw' is host-side only (visualization naming / PNG dumps,
             # reference cod.py:156-217) — never shipped to the device. In
@@ -250,7 +258,17 @@ class DataLoader:
         # configured batch and stop dividing the mesh's data axis; fall back
         # to a replicated placement on the SAME mesh so jitted steps traced
         # with mesh-wide sharding constraints still see compatible devices.
+        # drop_last loaders (training) have no tails — an indivisible batch
+        # there is a misconfiguration that must fail loudly, not silently
+        # disable data parallelism by replicating every batch.
         if not _divisible(s, v.shape):
+            if self.drop_last:
+                raise ValueError(
+                    f"batch shape {v.shape} does not divide the mesh sharding "
+                    f"{s.spec} over {getattr(s, 'mesh', None) and dict(s.mesh.shape)} — "
+                    "fix batch_size (or input size on a 2-D mesh); replicated "
+                    "fallback is reserved for drop_last=False tail batches"
+                )
             from jax.sharding import NamedSharding, PartitionSpec
 
             mesh = getattr(s, "mesh", None)

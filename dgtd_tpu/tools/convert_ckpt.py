@@ -512,15 +512,21 @@ _INVERSE_TF = {
 
 
 def export_state_dict(
-    flat: Dict[str, np.ndarray], template: Dict[str, np.ndarray]
+    flat: Dict[str, np.ndarray],
+    template: Dict[str, np.ndarray],
+    allow_missing: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], list]:
     """Fill a reference-schema ``template`` state dict from our flat tree.
 
     ``flat``: {'params/...': array, 'batch_stats/...': array} ('params/'
     prefix optional — the ``convert_ckpt full`` bare layout is accepted).
-    Returns (state_dict_arrays, keys_left_at_template_values). Trained
-    dgtd_tpu weights exported this way run on the ACTUAL reference torch
-    stack (validated bit-exact round-trip in tests/test_convert_ckpt.py).
+    Returns (state_dict_arrays, keys_left_at_template_values) — the latter
+    is ONLY the reference's unmapped dead-module keys. A template key that
+    IS mapped but has no source in ``flat`` (partial/mismatched checkpoint)
+    raises unless ``allow_missing`` — silently exporting template values
+    there would produce a cleanly-loading .pth full of init weights.
+    Trained dgtd_tpu weights exported this way run on the ACTUAL reference
+    torch stack (validated bit-exact round-trip in tests/test_convert_ckpt.py).
     """
     flat = {
         k if k.startswith(("params/", "batch_stats/")) else f"params/{k}": np.asarray(v)
@@ -528,16 +534,22 @@ def export_state_dict(
     }
     out: Dict[str, np.ndarray] = {}
     left = []
+    missing_src = []
     for rkey, tval in template.items():
         hit = map_full_key(rkey, "params")
         prefix = "params/"
         if hit is None:
             hit = map_full_key(rkey, "batch_stats")
             prefix = "batch_stats/"
-        src = None if hit is None else flat.get(prefix + _normalize_path(hit[0]))
+        if hit is None:
+            out[rkey] = np.asarray(tval)
+            left.append(rkey)
+            continue
+        src = flat.get(prefix + _normalize_path(hit[0]))
         if src is None:
             out[rkey] = np.asarray(tval)
             left.append(rkey)
+            missing_src.append(rkey)
             continue
         arr = _INVERSE_TF[hit[1]](src)
         tshape = tuple(np.asarray(tval).shape)
@@ -546,6 +558,13 @@ def export_state_dict(
                 f"export: {rkey} expects shape {tshape}, our tree has {arr.shape}"
             )
         out[rkey] = arr
+    if missing_src and not allow_missing:
+        raise ValueError(
+            f"export: {len(missing_src)} mapped keys have no source in the "
+            f"checkpoint (first: {missing_src[:5]}) — the source tree is "
+            "partial or from a different model config; pass --allow-missing "
+            "to export template values for them anyway"
+        )
     return out, left
 
 
@@ -573,11 +592,14 @@ def main(argv=None):
     argv = argv or sys.argv[1:]
     kinds = ("pvt", "convnext", "full", "dinov2", "dpt_head")
     if argv and argv[0] == "export":
+        allow_missing = "--allow-missing" in argv
+        argv = [a for a in argv if a != "--allow-missing"]
         if len(argv) not in (3, 4):
             print(
                 "usage: convert_ckpt export <ours.npz|orbax_dir> <out.pth> "
-                "[template_ref.pth]\n(no template: a random-init reference "
-                "state_dict is built via tools/ref_oracle.py)"
+                "[template_ref.pth] [--allow-missing]\n(no template: a "
+                "random-init reference state_dict is built via "
+                "tools/ref_oracle.py)"
             )
             sys.exit(1)
         import torch
@@ -595,7 +617,7 @@ def main(argv=None):
             template = {
                 k: v.numpy() for k, v in load_reference_cod().cod().state_dict().items()
             }
-        out, left = export_state_dict(flat, template)
+        out, left = export_state_dict(flat, template, allow_missing=allow_missing)
         # as_tensor(copy) keeps 0-d counters 0-d (ascontiguousarray promotes
         # scalars to shape-(1,), which torch load_state_dict then rejects)
         torch.save({k: torch.as_tensor(np.array(v)) for k, v in out.items()}, argv[2])

@@ -47,11 +47,15 @@ def load_folder(image_dir: str, gt_dir: str, depth_dir: Optional[str], size: int
     8-bit 'L'. Depths pair 1:1 by sorted order (FolderSODDataset contract)."""
     from PIL import Image
 
-    files = sorted(os.listdir(image_dir))
-    gts = sorted(os.listdir(gt_dir))
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+    # image files only: a stray .DS_Store/subdir must not shift the
+    # sorted-order pairing or crash Image.open (same guard as predict.py)
+    ls = lambda d: sorted(f for f in os.listdir(d) if f.lower().endswith(exts))
+    files = ls(image_dir)
+    gts = ls(gt_dir)
     if len(files) != len(gts):
         raise SystemExit(f"{len(files)} images vs {len(gts)} GT masks — must pair 1:1")
-    depths = sorted(os.listdir(depth_dir)) if depth_dir else None
+    depths = ls(depth_dir) if depth_dir else None
     if depths is not None and len(depths) != len(files):
         raise SystemExit(f"{len(depths)} depths vs {len(files)} images — must pair 1:1")
 

@@ -150,7 +150,15 @@ class Runner:
         # host. Divisible batches shard like train; others (the reference's
         # bs-1 ValLoop) are replicated across the mesh, which every
         # constraint accepts.
-        if train or batch_size % self.mesh.shape["data"] == 0:
+        if not train and jax.process_count() > 1:
+            # Multi-host val: every process walks the full dataset and the
+            # per-process results are averaged (identical inputs → identical
+            # results; see the process_allgather in val()). Batches must be
+            # replicated — a data-sharded val batch would make the stats /
+            # prob outputs span non-addressable devices and device_get would
+            # refuse them on every host.
+            sharding = self.repl_sharding
+        elif train or batch_size % self.mesh.shape["data"] == 0:
             sharding = self.data_sharding
         else:
             sharding = self.repl_sharding

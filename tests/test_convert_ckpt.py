@@ -210,3 +210,21 @@ def test_export_roundtrips_reference_state_dict():
     assert all(tensors[k].shape == v.shape for k, v in model.state_dict().items())
     missing, unexpected = model.load_state_dict(tensors)
     assert not missing and not unexpected
+
+
+def test_export_rejects_partial_source():
+    """A mapped template key with no source in our tree must raise (silently
+    exporting template values would ship init weights in a cleanly-loading
+    .pth) unless allow_missing."""
+    from dgtd_tpu.tools.convert_ckpt import export_state_dict
+
+    template = {
+        "hitnet.out_CFM.weight": np.zeros((1, 32, 1, 1), np.float32),
+        "hitnet.out_CFM.bias": np.zeros((1,), np.float32),
+    }
+    flat = {"params/hitnet/out_CFM/Conv_0/kernel": np.ones((1, 1, 32, 1), np.float32)}
+    with pytest.raises(ValueError, match="no source in the checkpoint"):
+        export_state_dict(flat, template)
+    out, left = export_state_dict(flat, template, allow_missing=True)
+    assert left == ["hitnet.out_CFM.bias"]
+    assert out["hitnet.out_CFM.weight"].shape == (1, 32, 1, 1)

@@ -538,3 +538,28 @@ def test_loader_multiprocess_branch_assembles(monkeypatch):
     assert np.array_equal(
         np.asarray(batches[1]["input"])[:, 0, 0], np.arange(8, 12, dtype=np.float32)
     )
+
+
+def test_loader_indivisible_train_batch_fails_loudly():
+    """drop_last (train) loaders have no tails — an indivisible batch size is
+    a misconfiguration that must raise, not silently replicate every batch
+    (which would disable data parallelism for the whole run)."""
+    import pytest
+
+    from dgtd_tpu.data.loader import DataLoader
+    from dgtd_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(data=8, space=1)
+
+    class DS:
+        def __len__(self):
+            return 12
+
+        def get(self, i, rng=None):
+            return {"input": np.zeros((4, 3), np.float32)}
+
+    dl = DataLoader(
+        DS(), batch_size=6, sharding=batch_sharding(mesh), drop_last=True, prefetch=0
+    )
+    with pytest.raises(ValueError, match="does not divide the mesh sharding"):
+        list(dl)
