@@ -139,14 +139,24 @@ def _pad_rows_to8(h: int) -> int:
     return -(-h // 8) * 8
 
 
-def _bwd_strip(h: int, w: int, kernel: int) -> int:
-    # h is pre-padded to a multiple of 8; if nothing fits the VMEM budget,
-    # fall back to the SMALLEST aligned strip (8) — never h, whose weights
-    # block at serving widths would be hundreds of MB and fail to compile
+def _aligned_strip(h: int, block_bytes) -> int:
+    """Largest sublane-aligned (8-row) strip dividing ``h`` whose dominant
+    VMEM block (``block_bytes(s)``, caller-specific) fits the 4 MB budget.
+    If nothing fits, fall back to the SMALLEST aligned strip (8) — never h,
+    whose blocks at serving widths would be hundreds of MB and fail to
+    compile. Single source of the strip policy for fwd AND bwd; only the
+    block-size estimate differs per direction."""
     for s in (64, 32, 16, 8):
-        if h % s == 0 and kernel * kernel * (s + kernel - 1) * (w + kernel - 1) * 4 <= 4 * 2**20:
+        if h % s == 0 and block_bytes(s) <= 4 * 2**20:
             return s
     return 8
+
+
+def _bwd_strip(h: int, w: int, kernel: int) -> int:
+    # bwd's dominant block: the halo'd (s+k-1, w+k-1) grad slab per tap
+    return _aligned_strip(
+        h, lambda s: kernel * kernel * (s + kernel - 1) * (w + kernel - 1) * 4
+    )
 
 
 def diffusion_step_bwd_pallas(
@@ -260,13 +270,8 @@ def diffusion_step_pallas_v2(
         x_planes = jnp.pad(x_planes, ((0, 0), (0, h - h0), (0, 0)))
         w_planes = jnp.pad(w_planes, ((0, 0), (0, 0), (0, h - h0), (0, 0)))
     r = kernel // 2
-    # STRIP must be a multiple of 8 (sublane alignment of the slab load);
-    # fallback is the SMALLEST aligned strip, never h (VMEM blowup)
-    strip = 8
-    for s in (64, 32, 16, 8):
-        if h % s == 0 and kernel * kernel * s * w * 4 <= 4 * 2**20:
-            strip = s
-            break
+    # fwd's dominant block: the (k², strip, w) weights tile
+    strip = _aligned_strip(h, lambda s: kernel * kernel * s * w * 4)
     xp = jnp.pad(x_planes, ((0, 0), (r, r), (r, r)))
     kern = functools.partial(_stencil_kernel_v2, K=kernel, W=w, STRIP=strip)
     out = pl.pallas_call(

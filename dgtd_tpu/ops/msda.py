@@ -429,19 +429,28 @@ def make_ms_deform_attn(
 ):
     """Build the op for a static level layout (shapes are compile-time).
 
-    ``pallas_backward``: compute dValue (the scatter-add term) with the
-    one-hot-transpose Pallas kernel; location/weight grads always come from
-    the reference VJP (gather-sized work)."""
+    ``pallas_backward``: compute the FULL gradient triple with the Pallas
+    kernels — dValue via the one-hot-transpose kernel, dLocation and
+    dAttentionWeight via the 3-matmuls-per-point kernel; with it off, all
+    three come from the reference VJP.
+
+    Sampling coordinates and attention weights are upcast to f32 at the op
+    boundary regardless of the activation dtype: under bf16 a coordinate
+    like x=800 has a ulp of 4 PIXELS, which would quantize the bilinear
+    fractions to garbage. This matches the f32 CUDA reference semantics;
+    gradients are cast back to the caller's dtypes."""
 
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
 
     @jax.custom_vjp
     def op(value, sampling_locations, attention_weights):
+        sl = sampling_locations.astype(jnp.float32)
+        aw = attention_weights.astype(jnp.float32)
         if use_pallas:
             return ms_deform_attn_pallas_fwd(
-                value, shapes, sampling_locations, attention_weights, interpret=interpret
+                value, shapes, sl, aw, interpret=interpret
             )
-        return ms_deform_attn_reference(value, shapes, sampling_locations, attention_weights)
+        return ms_deform_attn_reference(value, shapes, sl, aw)
 
     def fwd(value, sampling_locations, attention_weights):
         return op(value, sampling_locations, attention_weights), (
@@ -451,7 +460,9 @@ def make_ms_deform_attn(
         )
 
     def bwd(res, g):
-        value, sl, aw = res
+        value, sl0, aw0 = res
+        sl = sl0.astype(jnp.float32)
+        aw = aw0.astype(jnp.float32)
         if use_pallas and pallas_backward:
             dv = ms_deform_attn_pallas_dvalue(
                 g, value.shape, shapes, sl, aw, interpret=interpret
@@ -459,11 +470,12 @@ def make_ms_deform_attn(
             dsl, daw = ms_deform_attn_pallas_dlocw(
                 g, value, shapes, sl, aw, interpret=interpret
             )
-            return dv, dsl.astype(sl.dtype), daw.astype(aw.dtype)
+            return dv, dsl.astype(sl0.dtype), daw.astype(aw0.dtype)
         _, vjp = jax.vjp(
             lambda v, s, a: ms_deform_attn_reference(v, shapes, s, a), value, sl, aw
         )
-        return vjp(g)
+        dv, dsl, daw = vjp(g)
+        return dv.astype(value.dtype), dsl.astype(sl0.dtype), daw.astype(aw0.dtype)
 
     op.defvjp(fwd, bwd)
     return op

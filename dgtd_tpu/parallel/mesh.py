@@ -52,9 +52,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def initialize_multihost(coordinator: Optional[str] = None) -> None:
-    """Multi-host (DCN) initialization; no-op in single-process runs."""
-    if jax.process_count() > 1 or coordinator:
+    """Multi-host (DCN) initialization; no-op in single-process runs.
+
+    MUST not touch the backend before deciding: ``jax.process_count()``
+    initializes XLA, after which ``jax.distributed.initialize`` raises
+    ("must be called before any JAX calls"). Detection therefore uses only
+    the explicit ``coordinator`` argument and cluster environment markers
+    (the standard jax coordinator vars, TPU pod metadata, SLURM/OMPI).
+    """
+    import os
+
+    if coordinator:
         jax.distributed.initialize(coordinator_address=coordinator)
+        return
+    markers = (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "SLURM_JOB_NUM_NODES",
+        "OMPI_COMM_WORLD_SIZE",
+    )
+    if any(os.environ.get(m) for m in markers):
+        # cluster plugins auto-detect coordinator/process ids from the env
+        jax.distributed.initialize()
 
 
 # ---------------------------------------------------------------------------

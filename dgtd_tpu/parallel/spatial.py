@@ -95,6 +95,23 @@ def spatial_diffusion(
     r = kernel // 2
     n_shards = mesh.shape[axis]
     h = x.shape[1]
+    if r == 0:
+        # kernel=1 is pointwise (no neighborhood): `x_local[:, -0:]` would
+        # send the FULL shard as a "halo" and `out[:, 0:-0]` slices empty —
+        # run the stencil steps shard-locally with no exchange instead.
+        def pointwise(x_local, w_local):
+            for _ in range(steps):
+                x_local = x_local * w_local[..., 0]
+            return x_local
+
+        spec = P(None, axis, None, None)
+        return shard_map(
+            pointwise,
+            mesh=mesh,
+            in_specs=(spec, P(None, axis, None, None, None)),
+            out_specs=spec,
+            check_vma=False,
+        )(x, norm_weight)
     if h % n_shards != 0:
         raise ValueError(f"H={h} must divide evenly over {n_shards} '{axis}' shards")
     if h // n_shards < r:

@@ -27,11 +27,14 @@ class LocalVisBackend:
     def __init__(self, save_dir: str = "./output/vis", project: Optional[str] = None):
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
-        self._scalar_file = open(os.path.join(save_dir, "scalars.jsonl"), "a")
+        self._scalar_path = os.path.join(save_dir, "scalars.jsonl")
 
     def add_scalars(self, scalars: Dict[str, float], step: int) -> None:
-        self._scalar_file.write(json.dumps({"step": step, **scalars}) + "\n")
-        self._scalar_file.flush()
+        # open-per-write: backends live as long as the Runner and have no
+        # close() contract — a held handle would leak one fd per Runner
+        # (sweeps, tests) and risk losing the last buffered record
+        with open(self._scalar_path, "a") as f:
+            f.write(json.dumps({"step": step, **scalars}) + "\n")
 
     def add_image(self, name: str, image: np.ndarray, step: int = 0) -> None:
         from PIL import Image

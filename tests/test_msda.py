@@ -166,3 +166,41 @@ def test_msdeformattn_module():
     out = m.apply(variables, query, refs, value, shapes)
     assert out.shape == (1, 10, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_locations_upcast_to_f32_coordinates():
+    """Sampling coordinates must be computed in f32 even when the caller
+    passes bf16 locations — at x≈0.8*W on a large level a bf16 coordinate
+    has a multi-pixel ulp, which would quantize the bilinear fractions.
+    The op's output with bf16 locations must match the f32 result to bf16
+    input-rounding tolerance (NOT collapse to whole-pixel samples)."""
+    from dgtd_tpu.ops.msda import make_ms_deform_attn
+
+    rng = np.random.RandomState(11)
+    shapes = ((64, 100),)
+    B, H, D, Lq, P = 1, 2, 8, 9, 4
+    total = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.rand(B, total, H, D), jnp.float32)
+    # locations clustered near the right edge where bf16 ulp is largest
+    sl = 0.85 + 0.1 * rng.rand(B, Lq, H, len(shapes), P, 2)
+    aw = rng.rand(B, Lq, H, len(shapes), P)
+    aw /= aw.sum(axis=(-2, -1), keepdims=True)
+    op = make_ms_deform_attn(shapes, use_pallas=False)
+
+    out32 = np.asarray(op(value, jnp.asarray(sl, jnp.float32), jnp.asarray(aw, jnp.float32)))
+    out16 = np.asarray(op(value, jnp.asarray(sl, jnp.bfloat16), jnp.asarray(aw, jnp.bfloat16)))
+    # exact contract of the upcast: bf16 inputs == f32 math on the
+    # bf16-ROUNDED values (the input rounds once; the coordinate/fraction
+    # arithmetic itself stays f32)
+    sl_r = np.asarray(jnp.asarray(sl, jnp.bfloat16), np.float32)
+    aw_r = np.asarray(jnp.asarray(aw, jnp.bfloat16), np.float32)
+    want = np.asarray(op(value, jnp.asarray(sl_r), jnp.asarray(aw_r)))
+    np.testing.assert_allclose(out16, want, rtol=1e-6, atol=1e-6)
+    # input rounding moves samples < 0.5 px: error stays far below the
+    # order-1 whole-pixel displacement bf16 coordinate MATH would cause
+    assert np.abs(out16 - out32).max() < 0.2
+    # grads flow at the caller's dtypes
+    g = jax.grad(lambda s: jnp.sum(op(value, s, jnp.asarray(aw, jnp.bfloat16))))(
+        jnp.asarray(sl, jnp.bfloat16)
+    )
+    assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(g.astype(jnp.float32)).all())

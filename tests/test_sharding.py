@@ -115,3 +115,34 @@ def test_sharded_predict_matches_single_device(tiny_model, data, space):
 
     out = np.asarray(predict(v_r, img_s, dep_s))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_initialize_multihost_order_and_detection(monkeypatch):
+    """jax.distributed.initialize must be reachable WITHOUT any prior
+    backend-initializing call (jax.process_count() initializes XLA, after
+    which distributed init raises) — detection uses only the coordinator
+    argument and cluster env markers, and is a strict no-op otherwise."""
+    import dgtd_tpu.parallel.mesh as M
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    for m in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_NUM_NODES",
+        "OMPI_COMM_WORLD_SIZE",
+    ):
+        monkeypatch.delenv(m, raising=False)
+    M.initialize_multihost(None)
+    assert calls == []  # single-host: strict no-op, no backend touched
+    M.initialize_multihost("host:1234")
+    assert calls == [{"coordinator_address": "host:1234"}]
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "coord:999")
+    M.initialize_multihost(None)
+    assert calls[-1] == {}  # env-marker path: plugin auto-detection
+    # source guard: nothing may call process_count before the decision
+    import inspect
+
+    body = inspect.getsource(M.initialize_multihost).split('"""')[-1]
+    assert "process_count" not in body  # the call, not the docstring mention

@@ -40,3 +40,21 @@ def test_spatial_diffusion_pallas_interpret():
     mesh = make_mesh(data=1, space=space, devices=jax.devices()[:space])
     out = spatial_diffusion(x, nw, k, steps, mesh, use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_diffusion_kernel1_pointwise():
+    """kernel=1 (r=0) is pointwise: the halo machinery (x[:, -0:] slices,
+    out[:, 0:-0]) would corrupt it — the short-circuit must produce
+    x * w^steps per element, matching the unsharded reference."""
+    from dgtd_tpu.models.diffusion import message_passing_step
+    from dgtd_tpu.parallel.spatial import spatial_diffusion
+    from dgtd_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 16, 8, 3), jnp.float32)
+    w = jnp.asarray(rng.rand(2, 16, 8, 3, 1), jnp.float32)
+    mesh = make_mesh(data=1, space=4, devices=jax.devices()[:4])
+    out = spatial_diffusion(x, w, kernel=1, steps=2, mesh=mesh, use_pallas=False)
+    ref = message_passing_step(message_passing_step(x, w, 1), w, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    assert out.shape == x.shape
