@@ -40,6 +40,15 @@ def _parse_value(text: str) -> Any:
         return text
 
 
+def _as_int(p: str):
+    """int(p) for plain (optionally negative) integer segments, else None —
+    'lstrip-and-isdigit' accepted strings like '--3' whose int() raises."""
+    try:
+        return int(p)
+    except ValueError:
+        return None
+
+
 def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
     """Integer path segments address (and create) LIST entries, so
     ``-o custom_hooks.0.type=our_init`` works on a recipe with no
@@ -75,8 +84,8 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
         # to the string key — otherwise `-o sizes.384.bs=8` would silently
         # create a parallel {'384': ...} subtree and the override would
         # never reach the recipe's value.
-        if p not in node and p.lstrip("-").isdigit() and int(p) in node:
-            return int(p)
+        if p not in node and _as_int(p) is not None and _as_int(p) in node:
+            return _as_int(p)
         return p
 
     node = cfg
@@ -123,10 +132,10 @@ def get_dotted(cfg: dict, dotted_key: str, default: Any = None) -> Any:
             node = node[p]
         elif (
             isinstance(node, dict)
-            and p.lstrip("-").isdigit()
-            and int(p) in node
+            and _as_int(p) is not None
+            and _as_int(p) in node
         ):  # YAML int keys (see set_dotted.dict_key)
-            node = node[int(p)]
+            node = node[_as_int(p)]
         else:
             return default
     return node

@@ -520,11 +520,11 @@ def export_state_dict(
 
     ``flat``: {'params/...': array, 'batch_stats/...': array} ('params/'
     prefix optional — the ``convert_ckpt full`` bare layout is accepted).
-    Returns (state_dict_arrays, keys_left_at_template_values) — the latter
-    is ONLY the reference's unmapped dead-module keys. A template key that
-    IS mapped but has no source in ``flat`` (partial/mismatched checkpoint)
-    raises unless ``allow_missing`` — silently exporting template values
-    there would produce a cleanly-loading .pth full of init weights.
+    Returns (state_dict_arrays, keys_left_at_template_values,
+    mapped_keys_missing_source). A template key that IS mapped but has no
+    source in ``flat`` (partial/mismatched checkpoint) raises unless
+    ``allow_missing`` — silently exporting template values there would
+    produce a cleanly-loading .pth full of init weights.
     Trained dgtd_tpu weights exported this way run on the ACTUAL reference
     torch stack (validated bit-exact round-trip in tests/test_convert_ckpt.py).
     """
@@ -565,27 +565,16 @@ def export_state_dict(
             "partial or from a different model config; pass --allow-missing "
             "to export template values for them anyway"
         )
-    return out, left
+    return out, left, missing_src
 
 
 def _load_flat_ours(path: str) -> Dict[str, np.ndarray]:
     """Our checkpoint (orbax dir / trainer npz / convert-full npz) as a flat
-    {'params/...', 'batch_stats/...'} mapping."""
-    from ..train.hooks import flatten_tree, load_npz_tree
+    {'params/...', 'batch_stats/...'} mapping (hooks.py owns the layout
+    contract; export_state_dict re-normalizes bare keys defensively)."""
+    from ..train.hooks import load_flat_checkpoint
 
-    if not path.endswith(".npz"):
-        import os
-
-        import orbax.checkpoint as ocp
-
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
-        restored = dict(restored) if not isinstance(restored, dict) else restored
-        if not ({"params", "batch_stats"} & restored.keys()):
-            restored = {"params": restored}
-        return flatten_tree(
-            {k: restored[k] for k in ("params", "batch_stats") if k in restored}
-        )
-    return load_npz_tree(path)
+    return load_flat_checkpoint(path)
 
 
 def main(argv=None):
@@ -617,12 +606,19 @@ def main(argv=None):
             template = {
                 k: v.numpy() for k, v in load_reference_cod().cod().state_dict().items()
             }
-        out, left = export_state_dict(flat, template, allow_missing=allow_missing)
+        out, left, missing = export_state_dict(flat, template, allow_missing=allow_missing)
         # as_tensor(copy) keeps 0-d counters 0-d (ascontiguousarray promotes
         # scalars to shape-(1,), which torch load_state_dict then rejects)
         torch.save({k: torch.as_tensor(np.array(v)) for k, v in out.items()}, argv[2])
+        dead = len(left) - len(missing)
         print(f"exported {len(out) - len(left)} tensors -> {argv[2]}; "
-              f"{len(left)} left at template values (dead modules)")
+              f"{dead} left at template values (dead modules)")
+        if missing:
+            print(
+                f"WARNING: {len(missing)} LIVE keys had no source in the "
+                f"checkpoint and carry template values (first: {missing[:5]}) "
+                "— the exported model is partially init-weighted"
+            )
         return
     if len(argv) != 3 or argv[0] not in kinds:
         print(__doc__)

@@ -28,39 +28,53 @@ from typing import List
 import numpy as np
 
 DEFAULT_METRICS = ("Smeasure", "MAE", "Fmeasure", "Emeasure", "WeightedFmeasure")
-_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+#: prediction-name decorations stripped before stem matching — the
+#: visualizer writes ``{name}_output.png`` (train/loop.py), other methods
+#: commonly use ``_pred``/``_mask``
+_PRED_SUFFIXES = ("_output", "_pred", "_mask")
 
 
-def _list_images(d: str) -> List[str]:
-    files = sorted(f for f in os.listdir(d) if f.lower().endswith(_EXTS))
-    if not files:
-        raise SystemExit(f"no image files in {d}")
-    return files
+def _stem(fname: str, strip_suffixes=()) -> str:
+    stem = os.path.splitext(fname)[0]
+    for s in strip_suffixes:
+        if stem.endswith(s):
+            return stem[: -len(s)]
+    return stem
 
 
 def run_eval(pred_dir: str, gt_dir: str, metric_names=DEFAULT_METRICS, strict_pairing: bool = True):
     from PIL import Image
 
     from ..core.registry import METRICS
+    from ..utils.files import list_images
 
-    preds = _list_images(pred_dir)
-    gts = _list_images(gt_dir)
+    preds = list_images(pred_dir)
+    gts = list_images(gt_dir)
     if len(preds) != len(gts):
         raise SystemExit(
             f"{len(preds)} predictions vs {len(gts)} GT masks — must pair 1:1"
         )
     if strict_pairing:
-        mism = [
-            (p, g)
-            for p, g in zip(preds, gts)
-            if os.path.splitext(p)[0] != os.path.splitext(g)[0]
-        ]
-        if mism:
+        # pair by STEM MAP, not sorted order: suffixed prediction names
+        # (img1_output.png) sort differently from their GTs (img1.png), so
+        # positional pairing would silently mispair them
+        gt_by_stem = {_stem(g): g for g in gts}
+        if len(gt_by_stem) != len(gts):
+            raise SystemExit("duplicate GT basename stems — cannot pair by stem")
+        pairing = []
+        unmatched = []
+        for p in preds:
+            g = gt_by_stem.get(_stem(p, _PRED_SUFFIXES))
+            (pairing.append((p, g)) if g else unmatched.append(p))
+        if unmatched:
             raise SystemExit(
-                f"{len(mism)} basename mismatches (e.g. {mism[0][0]!r} vs "
-                f"{mism[0][1]!r}); pass --no-strict-pairing to pair by sorted "
-                "order anyway"
+                f"{len(unmatched)} predictions have no GT stem match (e.g. "
+                f"{unmatched[0]!r}); rename, or pass --no-strict-pairing to "
+                "pair by sorted order (ONLY safe when both folders use the "
+                "same naming scheme)"
             )
+        preds, gts = zip(*pairing)
 
     metrics = [METRICS.get(n)() for n in metric_names]
     for p, g in zip(preds, gts):

@@ -47,10 +47,8 @@ def load_folder(image_dir: str, gt_dir: str, depth_dir: Optional[str], size: int
     8-bit 'L'. Depths pair 1:1 by sorted order (FolderSODDataset contract)."""
     from PIL import Image
 
-    exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
-    # image files only: a stray .DS_Store/subdir must not shift the
-    # sorted-order pairing or crash Image.open (same guard as predict.py)
-    ls = lambda d: sorted(f for f in os.listdir(d) if f.lower().endswith(exts))
+    from ..utils.files import list_images as ls
+
     files = ls(image_dir)
     gts = ls(gt_dir)
     if len(files) != len(gts):

@@ -123,23 +123,25 @@ class ProfilerHook(Hook):
             if step != self.start_step:
                 runner.log({"profile_started_late": step, "configured": self.start_step})
         elif self._active and step >= self._started_at + self.num_steps:
-            jax.block_until_ready(runner.state.params)
-            jax.profiler.stop_trace()
-            self._active = False
-            self._done = True
-            runner.log({"profile": out, "step": step})
+            self._stop(runner, truncated=False)
+
+    def _stop(self, runner, truncated: bool) -> None:
+        jax.block_until_ready(runner.state.params)  # drain dispatch queue
+        jax.profiler.stop_trace()
+        self._active = False
+        self._done = True
+        out = self.out_dir or os.path.join(runner.work_dir, "profile")
+        rec = {"profile": out, "step": runner.host_step}
+        if truncated:
+            rec["truncated"] = True
+        runner.log(rec)
 
     def after_train(self, runner):
         # A run that ends (or is preempted) inside the trace window would
         # otherwise never stop_trace — the profile dir is left truncated and
         # a later start_trace in the same process raises "already started".
         if self._active:
-            jax.block_until_ready(runner.state.params)
-            jax.profiler.stop_trace()
-            self._active = False
-            self._done = True
-            out = self.out_dir or os.path.join(runner.work_dir, "profile")
-            runner.log({"profile": out, "step": runner.host_step, "truncated": True})
+            self._stop(runner, truncated=True)
 
 
 @export
@@ -218,6 +220,34 @@ def graft_subtree(params, flat: Dict[str, np.ndarray], subtree: str) -> tuple:
     return rebuild(params, parts), loaded, missed
 
 
+def load_flat_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
+    """Any of our checkpoint formats as one flat {'params/...',
+    'batch_stats/...'} mapping — orbax directory (the trainer's primary
+    format), the trainer's flat-npz fallback, a ``convert_ckpt full`` npz
+    (BARE param keys + batch_stats/ prefixed), or a bare converted pretrain
+    tree (all bare → params namespace assumed). The single source of the
+    layout contract (also backs ``convert_ckpt export``)."""
+    if os.path.isdir(ckpt_path):
+        import orbax.checkpoint as ocp
+
+        # restores the whole saved tree (incl. optimizer state for full train
+        # checkpoints — transient host RAM, dropped by the grafts); a partial
+        # restore would need orbax transforms and isn't worth the coupling
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+        restored = dict(restored) if not isinstance(restored, dict) else restored
+        if not ({"params", "batch_stats"} & restored.keys()):
+            # bare params tree saved without the collection wrapper
+            restored = {"params": restored}
+        return flatten_tree(
+            {k: restored[k] for k in ("params", "batch_stats") if k in restored}
+        )
+    flat = load_npz_tree(ckpt_path)
+    return {
+        k if k.startswith(("params/", "batch_stats/")) else f"params/{k}": v
+        for k, v in flat.items()
+    }
+
+
 def load_variables_checkpoint(variables, ckpt_path: str, strict: bool = True):
     """Graft a checkpoint into a FULL inference variables tree — params AND
     BN ``batch_stats`` (loading params alone silently serves init running
@@ -228,31 +258,7 @@ def load_variables_checkpoint(variables, ckpt_path: str, strict: bool = True):
     ``strict``: every param leaf must be covered, and batch_stats must be
     covered whenever the model has any. Returns (variables, loaded, missed).
     """
-    if os.path.isdir(ckpt_path):
-        import orbax.checkpoint as ocp
-
-        # restores the whole saved tree (incl. optimizer state for full train
-        # checkpoints — transient host RAM, dropped right below); a partial
-        # restore would need orbax transforms and isn't worth the coupling
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
-        restored = dict(restored) if not isinstance(restored, dict) else restored
-        if not ({"params", "batch_stats"} & restored.keys()):
-            # bare params tree saved without the collection wrapper
-            restored = {"params": restored}
-        flat = flatten_tree(
-            {k: restored[k] for k in ("params", "batch_stats") if k in restored}
-        )
-    else:
-        flat = load_npz_tree(ckpt_path)
-        # three npz layouts exist: trainer fallback (params/ + batch_stats/
-        # prefixed), convert_ckpt full (BARE param keys + batch_stats/
-        # prefixed), bare converted pretrains (all bare). Normalize per-key:
-        # anything unprefixed is a param leaf.
-        flat = {
-            k if k.startswith(("params/", "batch_stats/")) else f"params/{k}": v
-            for k, v in flat.items()
-        }
-
+    flat = load_flat_checkpoint(ckpt_path)
     new_vars, loaded, missed = graft_flat_params(variables, flat)
     if strict:
         missed_params = [k for k in missed if k.startswith("params/")]

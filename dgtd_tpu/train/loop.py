@@ -156,7 +156,12 @@ class Runner:
             # results; see the process_allgather in val()). Batches must be
             # replicated — a data-sharded val batch would make the stats /
             # prob outputs span non-addressable devices and device_get would
-            # refuse them on every host.
+            # refuse them on every host. Deliberately NOT row-sharded across
+            # processes: the reference's `parity` reduction is a cumulative
+            # average over the sequential image stream (Smeasure.py:18-37),
+            # which is order-dependent — splitting the stream would change
+            # the reported numbers. Val cost parity with the reference (one
+            # process evaluates everything) is the accepted trade.
             sharding = self.repl_sharding
         elif train or batch_size % self.mesh.shape["data"] == 0:
             sharding = self.data_sharding

@@ -135,16 +135,7 @@ def main():
         print(f"{min(start + args.batch, len(files))}/{len(files)}")
 
 
-_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
-
-
-def _list_images(d):
-    """Sorted image files only — a stray non-image entry (.DS_Store, a
-    subdirectory) must not crash the run or shift the sorted depth pairing."""
-    files = sorted(f for f in os.listdir(d) if f.lower().endswith(_IMG_EXTS))
-    if not files:
-        raise SystemExit(f"no image files in {d}")
-    return files
+from dgtd_tpu.utils.files import list_images as _list_images
 
 
 def _paired_depth_files(files, depth_dir):

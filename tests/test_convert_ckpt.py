@@ -198,7 +198,8 @@ def test_export_roundtrips_reference_state_dict():
     template = {
         k: (np.zeros_like(v) if v.dtype.kind == "f" else v) for k, v in sd.items()
     }
-    out, left = export_state_dict(flat, template)
+    out, left, missing = export_state_dict(flat, template)
+    assert missing == []
     matched = sorted(set(sd) - set(left))
     assert len(matched) > 700, f"only {len(matched)} keys round-trip"
     for k in matched:
@@ -225,6 +226,6 @@ def test_export_rejects_partial_source():
     flat = {"params/hitnet/out_CFM/Conv_0/kernel": np.ones((1, 1, 32, 1), np.float32)}
     with pytest.raises(ValueError, match="no source in the checkpoint"):
         export_state_dict(flat, template)
-    out, left = export_state_dict(flat, template, allow_missing=True)
-    assert left == ["hitnet.out_CFM.bias"]
+    out, left, missing = export_state_dict(flat, template, allow_missing=True)
+    assert left == ["hitnet.out_CFM.bias"] and missing == ["hitnet.out_CFM.bias"]
     assert out["hitnet.out_CFM.weight"].shape == (1, 32, 1, 1)

@@ -259,9 +259,18 @@ def test_eval_folder_tool(tmp_path):
     assert results["COD/Smeasure"] == pytest.approx(1.0)
     assert results["COD/MAE"] == pytest.approx(0.0, abs=1e-9)
 
+    # suffixed prediction names (the visualizer's {name}_output.png) pair by
+    # STEM, immune to the sorted-order divergence ('_' vs '.' ordering)
+    for i in range(4):
+        (pred_d / f"im{i}.png").rename(pred_d / f"im{i}_output.png")
+    results, _ = run_eval(str(pred_d), str(gt_d), ("MAE",))
+    assert results["COD/MAE"] == pytest.approx(0.0, abs=1e-9)
+    for i in range(4):
+        (pred_d / f"im{i}_output.png").rename(pred_d / f"im{i}.png")
+
     # stem mismatch fails loudly unless --no-strict-pairing
     (pred_d / "im0.png").rename(pred_d / "zz_other.png")
-    with pytest.raises(SystemExit, match="basename mismatch"):
+    with pytest.raises(SystemExit, match="no GT stem match"):
         run_eval(str(pred_d), str(gt_d), ("MAE",))
     out = main([
         "--pred-dir", str(pred_d), "--gt-dir", str(gt_d),
