@@ -149,3 +149,65 @@ def test_predict_rejects_mismatched_depth_dir(tmp_path):
     with _pytest.raises(SystemExit, match="pair to images by sorted order"):
         predict_mod._paired_depth_files(["a.jpg", "b.jpg"], str(depth_dir))
     assert predict_mod._paired_depth_files(["a.jpg"], None) is None
+
+
+@pytest.mark.slow
+def test_predict_cli_checkpoint_journey(tmp_path, monkeypatch):
+    """predict.py --checkpoint end to end through the pipelined loop: 5
+    images at batch 2 (tail batch + padding), float AND uint8 ingest; both
+    modes produce a mask per image and agree to input-quantization noise."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import predict as predict_cli
+    from dgtd_tpu.models import cod
+    from dgtd_tpu.train.hooks import flatten_tree
+
+    model = cod(
+        dtype=jnp.float32, variant="tiny", channel=8, latent_dim=8, grid=8,
+        refine_iters=1, convnext_dims=(8, 16, 32, 64), convnext_depths=(1, 1, 1, 1),
+    )
+    variables = model.init(jax.random.PRNGKey(0), (1, 48, 48, 3))
+    ckpt = tmp_path / "ckpt.npz"
+    np.savez(
+        ckpt,
+        **flatten_tree(
+            {
+                "params": jax.device_get(variables["params"]),
+                "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+            }
+        ),
+    )
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    from PIL import Image
+
+    for i in range(5):
+        Image.fromarray((rng.rand(60, 70, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"p{i}.png"
+        )
+    outs = {}
+    for mode, flag in (("float", []), ("uint8", ["--uint8-io"])):
+        out_dir = tmp_path / f"out_{mode}"
+        argv = [
+            "predict.py", "--checkpoint", str(ckpt), "--image-dir", str(img_dir),
+            "--out-dir", str(out_dir), "--size", "48", "--batch", "2", "--fp32",
+            *flag,
+            "-o", "variant=tiny", "-o", "channel=8", "-o", "latent_dim=8",
+            "-o", "grid=8", "-o", "refine_iters=1",
+            "-o", "convnext_dims=(8,16,32,64)", "-o", "convnext_depths=(1,1,1,1)",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        predict_cli.main()
+        names = sorted(os.listdir(out_dir))
+        assert names == [f"p{i}_output.png" for i in range(5)]
+        outs[mode] = np.stack(
+            [np.asarray(Image.open(out_dir / n), np.float32) / 255.0 for n in names]
+        )
+    # same masks up to input quantization (<= 0.5/255 on inputs, amplified
+    # through the net — generous envelope, but identical would be suspicious)
+    assert np.abs(outs["float"] - outs["uint8"]).mean() < 0.05
