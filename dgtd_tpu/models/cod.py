@@ -103,6 +103,18 @@ class _SegModel:
         kwargs = dict(self.net_kwargs)
         kwargs.update(overrides)
         self.net = CODNet(dtype=dtype, **kwargs)
+        if self.use_ssim and self.net.fft_at_grid and self.net.use_prompts:
+            # fft_at_grid returns a GRID-sized texture (baseline's variant,
+            # baseline.py:1253); the SSIM term aligns texture against the
+            # full-resolution input — the combination would crash at trace
+            # time with an opaque broadcast error. The reference never pairs
+            # them (baseline has no SSIM); reject loudly instead.
+            raise ValueError(
+                "use_ssim=True is incompatible with fft_at_grid=True: the "
+                "grid-FFT texture is grid-sized and cannot align against the "
+                "full-resolution input (set model.use_ssim=false, as the "
+                "reference baseline does)"
+            )
 
     @property
     def frozen_param_prefixes(self) -> tuple:
@@ -114,7 +126,11 @@ class _SegModel:
         diffusion modules exist in the tree (checkpoint-key parity) but the
         injection path is dead (baseline.py:1436-1473)."""
         net = self.net
-        if net.use_prompts and not net.inject_prompts:
+        # getattr: DQnet inherits this property with a DQnetNet net that has
+        # no prompt fields — a raw attribute access would raise, and the
+        # loop's defensive getattr(model, ...) would silently MASK it,
+        # disabling freezing with no signal
+        if getattr(net, "use_prompts", False) and not getattr(net, "inject_prompts", True):
             return ("hitnet/prompt_encoder", "hitnet/prompt_decoder")
         return ()
 

@@ -69,6 +69,11 @@ def normalize_affinity(weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return weight / (jnp.sum(weight, axis=-1, keepdims=True) + eps)
 
 
+def _hw(size) -> tuple:
+    """(H, W) from an int (square, back-compat) or an (H, W) pair."""
+    return (int(size), int(size)) if isinstance(size, int) else tuple(size)
+
+
 class MessagePassing(nn.Module):
     """Iterated affinity-weighted stencil aggregation + 1x1 conv to 3ch.
 
@@ -79,7 +84,7 @@ class MessagePassing(nn.Module):
     latent_dim: int = 24
     kernel: int = 7
     steps: int = 4
-    out_size: int = 384
+    out_size: tuple = (384, 384)  # (H, W) — rectangular inputs supported
     #: tests force the Pallas path in interpret mode on CPU
     pallas_interpret: bool = False
     dtype: Dtype = jnp.float32
@@ -105,7 +110,7 @@ class MessagePassing(nn.Module):
                 xp.reshape(b, c, h, w), input_layout="NCHW"
             )  # (B, 3, H, W)
             x = x.transpose(0, 2, 3, 1)  # tiny 3-channel transpose
-            return resize_bilinear(x, (self.out_size, self.out_size))
+            return resize_bilinear(x, _hw(self.out_size))
 
         b, h, w, c = x.shape
         # weight arrives as (B, h, w, latent_dim * k*k), channel-major like the
@@ -125,7 +130,7 @@ class MessagePassing(nn.Module):
             for _ in range(self.steps):
                 x = message_passing_step(x, wt, self.kernel)
         x = Conv(3, 1, init_scheme="pvt", dtype=self.dtype)(x)
-        return resize_bilinear(x, (self.out_size, self.out_size))
+        return resize_bilinear(x, _hw(self.out_size))
 
 
 class PromptEncoder(nn.Module):
@@ -155,7 +160,7 @@ class PromptEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, image, depth, train: bool = False):
-        size = image.shape[1]
+        size = (image.shape[1], image.shape[2])  # rectangular-safe
         g = self.grid
         if self.fft_at_grid:
             texture = fft_high_pass(resize_bilinear(image, (g, g)), self.freq_rate)

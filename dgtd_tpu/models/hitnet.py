@@ -25,22 +25,10 @@ import jax.numpy as jnp
 
 from ..utils.image import resize_bilinear
 from .diffusion import PromptDecoder, PromptEncoder
-from .layers import BasicConv2d, CAB, Conv, SAMFusion
+from .layers import BasicConv2d, CABStack, Conv, SAMFusion
 from .pvt import PVT_V2_CONFIGS, PVTv2
 
 Dtype = Any
-
-
-class CABStack(nn.Module):
-    n: int = 2
-    reduction: int = 4
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        for i in range(self.n):
-            x = CAB(reduction=self.reduction, dtype=self.dtype, name=f"cab{i}")(x)
-        return x
 
 
 class HitNet(nn.Module):

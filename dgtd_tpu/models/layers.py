@@ -53,14 +53,27 @@ def make_torch_bias_init(fan_in: int):
     return init
 
 
-def pvt_conv_kernel_init(key, shape, dtype=jnp.float32):
-    """Reference PVT `_init_weights` conv branch: normal(0, sqrt(2/fan_out))."""
-    receptive = 1
-    for s in shape[:-2]:
-        receptive *= s
-    fan_out = shape[-1] * receptive  # groups already folded into in-dim
-    std = math.sqrt(2.0 / fan_out)
-    return std * jax.random.normal(key, shape, dtype)
+def make_pvt_conv_kernel_init(groups: int = 1):
+    """Reference PVT `_init_weights` conv branch: normal(0, sqrt(2/fan_out))
+    with torch's ``fan_out = kh*kw*out_channels // groups`` (cod.py:1410-1412).
+    The division matters: a depthwise conv has fan_out = k² (each output
+    channel sees k² weights), NOT k²·C — omitting it shrank depthwise init
+    std by √C (32× at C=1024), diverging from-scratch training of the
+    ConvNeXt tower / MixFFN dwconvs from the reference."""
+
+    def init(key, shape, dtype=jnp.float32):
+        receptive = 1
+        for s in shape[:-2]:
+            receptive *= s
+        fan_out = max(shape[-1] * receptive // groups, 1)
+        std = math.sqrt(2.0 / fan_out)
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+#: groups=1 convenience (1x1 planes path, ungrouped convs)
+pvt_conv_kernel_init = make_pvt_conv_kernel_init(1)
 
 
 def trunc_normal_init(std: float = 0.02):
@@ -100,7 +113,7 @@ class Conv(nn.Module):
         x = spatial_constraint(x)
         in_ch = x.shape[-1]
         if self.init_scheme == "pvt":
-            kinit = pvt_conv_kernel_init
+            kinit = make_pvt_conv_kernel_init(self.groups)
             binit = zeros_init
         else:
             kinit = torch_default_kernel_init
@@ -351,6 +364,24 @@ class CAB(nn.Module):
         res = Conv(c, self.kernel, padding=self.kernel // 2, use_bias=self.use_bias, dtype=self.dtype)(res)
         res = CALayer(self.reduction, self.use_bias, dtype=self.dtype)(res)
         return res + x
+
+
+class CABStack(nn.Module):
+    """``n`` chained CABs with ``cab{i}`` child naming (one definition for
+    the HitNet decoder levels AND the MPRNet encoder/decoder stacks — the
+    param trees must stay converter-stable across both users)."""
+
+    n: int = 2
+    kernel: int = 3
+    reduction: int = 4
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.n):
+            x = CAB(self.kernel, self.reduction, self.use_bias, dtype=self.dtype, name=f"cab{i}")(x)
+        return x
 
 
 class SAMFusion(nn.Module):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..core.registry import export
 from ..utils.image import resize_bilinear
-from .layers import CAB, Conv
+from .layers import CAB, CABStack as _CABStack, Conv
 
 Dtype = Any
 
@@ -74,20 +74,6 @@ class SkipUpSample(nn.Module):
         x = _resize_double(x)
         x = Conv(x.shape[-1] - self.s_factor, 1, use_bias=False, dtype=self.dtype)(x)
         return x + skip
-
-
-class _CABStack(nn.Module):
-    n: int = 2
-    kernel: int = 3
-    reduction: int = 4
-    use_bias: bool = False
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        for i in range(self.n):
-            x = CAB(self.kernel, self.reduction, self.use_bias, dtype=self.dtype, name=f"cab{i}")(x)
-        return x
 
 
 @export

@@ -563,3 +563,40 @@ def test_loader_indivisible_train_batch_fails_loudly():
     )
     with pytest.raises(ValueError, match="does not divide the mesh sharding"):
         list(dl)
+
+
+def test_pvt_conv_init_divides_fan_out_by_groups():
+    """Reference _init_weights (cod.py:1410-1412): fan_out = k*k*out//groups.
+    A depthwise conv must init at std sqrt(2/k²), NOT sqrt(2/(k²C)) — the
+    missing division shrank depthwise init 32x at C=1024."""
+    from dgtd_tpu.models.layers import make_pvt_conv_kernel_init
+
+    k = jax.random.PRNGKey(0)
+    C = 256
+    dw = make_pvt_conv_kernel_init(groups=C)(k, (7, 7, 1, C))  # depthwise
+    expect = np.sqrt(2.0 / (7 * 7 * C / C))
+    assert abs(float(dw.std()) - expect) / expect < 0.05
+    dense = make_pvt_conv_kernel_init(1)(k, (3, 3, 8, C))
+    expect = np.sqrt(2.0 / (3 * 3 * C))
+    assert abs(float(dense.std()) - expect) / expect < 0.05
+
+
+def test_cod_rejects_ssim_with_grid_fft():
+    """use_ssim + fft_at_grid would crash at trace time with an opaque
+    broadcast error (grid-sized texture vs full-res input in the SSIM
+    term); the model must reject the combination loudly at construction."""
+    import pytest
+
+    from dgtd_tpu.models import cod
+
+    with pytest.raises(ValueError, match="incompatible with fft_at_grid"):
+        cod(dtype=jnp.float32, fft_at_grid=True)
+    # baseline's combination (fft_at_grid, no ssim) stays constructible
+    from dgtd_tpu.models.cod import baseline
+
+    b = baseline(dtype=jnp.float32)
+    assert b.net.fft_at_grid and not b.use_ssim
+    # DQnet inherits frozen_param_prefixes without prompt fields: must be ()
+    from dgtd_tpu.core.registry import MODELS
+
+    assert MODELS.get("DQnet")(dtype=jnp.float32).frozen_param_prefixes == ()
