@@ -17,27 +17,43 @@ dispatches and its block_until_ready is unreliable, so the timed region is a
 single jitted ``lax.scan`` over ``iters`` DISTINCT input batches whose scalar
 reduction is read back to host — device time amortizes the dispatch RTT and
 the readback forces completion.
+
+Hang-proofing (round-3 postmortem): a dead axon tunnel blocks backend init
+indefinitely, so this script never touches the backend in its own process
+when TPU is the target. ``main()`` first probes TPU liveness in a child with
+a hard deadline (utils/tpu_probe.py), then runs the real bench in a worker
+subprocess under an overall deadline — on a dead/dying tunnel it prints ONE
+diagnostic JSON line (``{"value": null, "error": "tpu_unreachable", ...}``)
+and exits 0 instead of handing the driver an rc=124 with no data.
+Env knobs: DGTD_TPU_PROBE_TIMEOUT (default 120 s), DGTD_BENCH_DEADLINE
+(default 2700 s), DGTD_TPU_PROBE_CMD / DGTD_BENCH_HANG_FOR_TEST (test fakes).
 """
 
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-# Persistent compilation cache: the full train step is a multi-minute compile
-# on the remote TPU service; cache survives across runs.
-try:
-    # TPU-only: cross-machine CPU AOT cache entries can SIGILL on this host
-    if jax.default_backend() == "tpu":
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
 from jax import lax
+
+
+def _enable_tpu_compile_cache():
+    """Persistent compilation cache: the full train step is a multi-minute
+    compile on the remote TPU service; cache survives across runs. Worker-only
+    — ``jax.default_backend()`` initializes the backend, which must never
+    happen in the watchdog parent. TPU-only: cross-machine CPU AOT cache
+    entries can SIGILL on this host."""
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
 
 def _train_setup(model, variables, size, batch_size, flat_opt=False, bf16_opt=False):
@@ -167,11 +183,14 @@ def measure_infer_scan(model, variables, size, batch, iters, repeats):
     return iters * batch / min(times)
 
 
-def measure_eval_e2e(model, variables, size, batch, n_images):
+def measure_eval_e2e(model, variables, size, batch, n_images, workers=1):
     """Composed end-to-end eval throughput: JPEG decode → native
     resize+normalize → jitted predict → device metric statistics → host
     stat fetch (the real ``-m val`` pipeline shape; reference ValLoop is the
-    comparison point). Synthetic folder written once; decode counted."""
+    comparison point). Synthetic folder written once; decode counted.
+    ``workers`` = decode threads (mirrors DataLoader num_workers) — reported
+    in the JSON line because the e2e number is host-decode-bound and only
+    interpretable alongside the worker count it was measured with."""
     import shutil
     import tempfile
 
@@ -181,12 +200,14 @@ def measure_eval_e2e(model, variables, size, batch, n_images):
     tmp = tempfile.mkdtemp(prefix="dgtd_e2e_")
     # finally: an exception mid-bench must not leak the synthetic folder
     try:
-        return _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image)
+        return _eval_e2e_body(
+            model, variables, size, batch, n_images, tmp, rng, Image, workers
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image):
+def _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image, workers=1):
     from dgtd_tpu.data.device_norm import IMAGENET_MEAN as mean, IMAGENET_STD as std
     from dgtd_tpu.metrics.device import batch_statistics
     from dgtd_tpu.native import pixelops
@@ -224,15 +245,25 @@ def _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image):
         prob, _ = model.predict(variables, image, depth)
         return batch_statistics(prob, label)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def decode_one(n):
+        with Image.open(os.path.join(tmp, f"{n}.jpg")) as im:
+            img = prep(np.asarray(im.convert("RGB")))
+        with Image.open(os.path.join(tmp, f"{n}_d.png")) as dm:
+            dep = prep(np.asarray(dm.convert("L")))
+        with Image.open(os.path.join(tmp, f"{n}_g.png")) as gm:
+            gt = prep(np.asarray(gm.convert("L")))
+        return img, dep, gt
+
+    # per-image decode fan-out (PIL decode + native resize both release the
+    # GIL, so threads scale on multi-core hosts; on this 1-core box workers=1
+    # is the honest configuration and the default)
+    dpool = ThreadPoolExecutor(max_workers=max(int(workers), 1))
+
     def decode_batch(batch_names):
-        imgs, deps, gts = [], [], []
-        for n in batch_names:
-            with Image.open(os.path.join(tmp, f"{n}.jpg")) as im:
-                imgs.append(prep(np.asarray(im.convert("RGB"))))
-            with Image.open(os.path.join(tmp, f"{n}_d.png")) as dm:
-                deps.append(prep(np.asarray(dm.convert("L"))))
-            with Image.open(os.path.join(tmp, f"{n}_g.png")) as gm:
-                gts.append(prep(np.asarray(gm.convert("L"))))
+        triples = list(dpool.map(decode_one, batch_names))
+        imgs, deps, gts = zip(*triples)
         return np.stack(imgs), np.stack(deps), np.stack(gts)
 
     def dispatch(arrays):
@@ -245,31 +276,32 @@ def _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image):
     # one-batch-deep prefetch, mirroring the real loader's background-thread
     # decode (data/loader.py): host decodes batch N+1 while the device runs
     # batch N; the fetch of N's stats drains one batch behind the dispatch.
-    from concurrent.futures import ThreadPoolExecutor
-
     fetch(dispatch(decode_batch(names[:batch])))  # compile + warmup
     batches = [names[i : i + batch] for i in range(0, n_images - batch + 1, batch)]
     done = len(batches) * batch
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        t0 = time.time()
-        nxt = pool.submit(decode_batch, batches[0])
-        pending = None
-        for bn in batches[1:]:
-            arrays = nxt.result()
-            nxt = pool.submit(decode_batch, bn)
-            stats = dispatch(arrays)
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            t0 = time.time()
+            nxt = pool.submit(decode_batch, batches[0])
+            pending = None
+            for bn in batches[1:]:
+                arrays = nxt.result()
+                nxt = pool.submit(decode_batch, bn)
+                stats = dispatch(arrays)
+                if pending is not None:
+                    fetch(pending)
+                pending = stats
+            stats = dispatch(nxt.result())
             if pending is not None:
                 fetch(pending)
-            pending = stats
-        stats = dispatch(nxt.result())
-        if pending is not None:
-            fetch(pending)
-        fetch(stats)
-        sec = time.time() - t0
+            fetch(stats)
+            sec = time.time() - t0
+    finally:
+        dpool.shutdown(wait=False)
     return done / sec, "native" if use_native else "pil"
 
 
-def main():
+def _parse_args():
     ap = argparse.ArgumentParser()
     # 384^2 = the recipe resolution AND the only size the reference torch
     # model runs at (MessagePassing hard-codes img_size=384, cod.py:1186,1236)
@@ -295,10 +327,90 @@ def main():
                     help="skip the secondary 512-inference and e2e-eval measurements")
     ap.add_argument("--train-batch", type=int, default=32,
                     help="batch for the secondary train metric (recipe-scale)")
-    args = ap.parse_args()
+    ap.add_argument("--e2e-workers", type=int, default=1,
+                    help="decode threads for the composed-eval measurement "
+                         "(reported as eval_e2e_workers in the JSON line)")
+    return ap.parse_args()
+
+
+def _headline_metric(args) -> str:
+    kind = "train" if args.mode == "train" else "infer"
+    return f"cod_bf16_{args.size}sq_bs{args.batch}_{kind}_images_per_sec_per_chip"
+
+
+def _emit_failure(args, **fields) -> None:
+    """The driver contract is ONE parseable JSON line, success or not."""
+    print(
+        json.dumps(
+            {
+                "metric": _headline_metric(args),
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                **fields,
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    """Watchdog parent: never touches the jax backend itself.
+
+    1. Probe TPU liveness in a child under DGTD_TPU_PROBE_TIMEOUT — a dead
+       axon tunnel yields a fast ``{"error": "tpu_unreachable"}`` line.
+    2. Re-exec this script as a worker (_DGTD_BENCH_WORKER=1) under an
+       overall DGTD_BENCH_DEADLINE so a tunnel that dies MID-bench still
+       produces a diagnostic line instead of an rc=124 hang.
+    CPU-targeted runs (--cpu-baseline-mode / JAX_PLATFORMS=cpu) skip the
+    watchdog: CPU backend init cannot hang.
+    """
+    from dgtd_tpu.utils.tpu_probe import backend_is_forced_cpu, probe_tpu
+
+    args = _parse_args()
+    if (
+        os.environ.get("_DGTD_BENCH_WORKER") == "1"
+        or args.cpu_baseline_mode
+        or backend_is_forced_cpu()
+    ):
+        _worker_main(args)
+        return
+
+    probe = probe_tpu()
+    if not probe.pop("ok"):
+        _emit_failure(args, **probe)
+        return
+
+    deadline = float(os.environ.get("DGTD_BENCH_DEADLINE", "2700"))
+    env = dict(os.environ, _DGTD_BENCH_WORKER="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+            env=env,
+            timeout=deadline,
+        )
+    except subprocess.TimeoutExpired:
+        _emit_failure(
+            args,
+            error="bench_deadline_exceeded",
+            deadline_s=deadline,
+            probe_s=probe.get("probe_s"),
+        )
+        return
+    if r.returncode != 0:
+        _emit_failure(args, error=f"bench_worker_exit_{r.returncode}")
+
+
+def _worker_main(args):
+    # test hook: fake a worker that hangs mid-bench (exercises the parent's
+    # overall deadline without a TPU)
+    hang = os.environ.get("DGTD_BENCH_HANG_FOR_TEST")
+    if hang:
+        time.sleep(float(hang))
 
     if args.cpu_baseline_mode:
         jax.config.update("jax_platforms", "cpu")
+    _enable_tpu_compile_cache()
 
     from dgtd_tpu.models import cod
 
@@ -364,9 +476,13 @@ def main():
         except Exception as e:  # pragma: no cover - defensive
             extra_fields["infer_512_error"] = f"{type(e).__name__}: {e}"[:160]
         try:
-            eps, pipe = measure_eval_e2e(model, variables, args.size, args.batch, n_images=64)
+            eps, pipe = measure_eval_e2e(
+                model, variables, args.size, args.batch, n_images=64,
+                workers=args.e2e_workers,
+            )
             extra_fields["eval_e2e_images_per_sec"] = round(eps, 2)
             extra_fields["eval_e2e_pipeline"] = pipe
+            extra_fields["eval_e2e_workers"] = int(args.e2e_workers)
         except Exception as e:  # pragma: no cover - defensive
             extra_fields["eval_e2e_error"] = f"{type(e).__name__}: {e}"[:160]
 

@@ -1,0 +1,106 @@
+"""Bounded TPU-backend liveness probe.
+
+The axon remote-TPU tunnel can die silently; once it does, *any* call that
+initializes the jax backend (``jax.devices()``, ``jax.default_backend()``)
+blocks indefinitely in the C++ client with no Python-level timeout. Round 3
+lost its driver bench to exactly this (BENCH_r03.json: rc=124, no JSON line).
+
+The fix is structural: never touch the backend in a process you cannot
+afford to lose. ``probe_tpu()`` initializes the backend in a CHILD process
+under a hard deadline and reports liveness; callers fail fast with a
+diagnostic instead of hanging. (There is no in-process alternative:
+SIGALRM cannot interrupt the blocked C++ call, and once the backend attempt
+starts in-process the interpreter is stuck.)
+
+Env knobs:
+  DGTD_TPU_PROBE_TIMEOUT  seconds before the probe child is killed (default 120)
+  DGTD_TPU_PROBE_CMD      override the probe's ``python -c`` payload (tests
+                          fake a hung/dead backend with a sleep/exit payload)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+from typing import Dict
+
+DEFAULT_TIMEOUT = 120.0
+
+_PROBE_PAYLOAD = (
+    "import jax, json; "
+    "print(json.dumps({'backend': jax.default_backend(), "
+    "'n_devices': len(jax.devices())}))"
+)
+
+
+def probe_timeout() -> float:
+    return float(os.environ.get("DGTD_TPU_PROBE_TIMEOUT", DEFAULT_TIMEOUT))
+
+
+def probe_tpu(timeout: float | None = None) -> Dict:
+    """Initialize the jax backend in a child process with a hard deadline.
+
+    Returns a JSON-serializable dict:
+      {"ok": True,  "backend": "tpu", "n_devices": 1, "probe_s": 4.2}
+      {"ok": False, "error": "tpu_unreachable", "probe_s": 120.0}      (hang)
+      {"ok": False, "error": "tpu_probe_failed", "probe_s": ..., ...}  (crash)
+    """
+    import json as _json
+
+    if timeout is None:
+        timeout = probe_timeout()
+    payload = os.environ.get("DGTD_TPU_PROBE_CMD", _PROBE_PAYLOAD)
+    env = dict(os.environ)
+    # the probe must see the same backend the caller would (drop any
+    # test-harness CPU forcing only if the caller didn't set it — i.e. keep
+    # env as-is; callers that force CPU should not be probing at all)
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", payload],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return {
+            "ok": False,
+            "error": "tpu_unreachable",
+            "probe_s": round(time.time() - t0, 1),
+        }
+    probe_s = round(time.time() - t0, 1)
+    if r.returncode != 0:
+        return {
+            "ok": False,
+            "error": "tpu_probe_failed",
+            "probe_s": probe_s,
+            "detail": (r.stderr or "").strip()[-200:],
+        }
+    info = {}
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        try:
+            info = _json.loads(line)
+            break
+        except ValueError:
+            continue
+    return {"ok": True, "probe_s": probe_s, **info}
+
+
+def backend_is_forced_cpu() -> bool:
+    """True when this process is already pinned to CPU (env var, disabled
+    axon tunnel, or an in-process ``jax.config`` update like the test
+    conftest's) — probing TPU liveness there is pointless."""
+    plats = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if plats == "cpu" or os.environ.get("PALLAS_AXON_POOL_IPS") == "":
+        return True
+    jax = sys.modules.get("jax")
+    if jax is not None:
+        try:
+            if str(getattr(jax.config, "jax_platforms", "") or "").lower() == "cpu":
+                return True
+        except Exception:
+            pass
+    return False

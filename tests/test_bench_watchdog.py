@@ -1,0 +1,140 @@
+"""bench.py / __graft_entry__ hang-proofing against a dead axon TPU tunnel.
+
+Round-3 postmortem: BENCH_r03.json was rc=124 with no JSON line because a
+dead tunnel blocks jax backend init forever and bench.py touched the backend
+at import time. The driver contract is ONE parseable JSON line no matter
+what — these tests fake a hung/dead backend via the DGTD_TPU_PROBE_CMD /
+DGTD_BENCH_HANG_FOR_TEST hooks and pin the fast-diagnostic behavior.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+# Env for a child that must BELIEVE it targets TPU: strip the conftest's CPU
+# forcing so the watchdog path (not the cpu bypass) is exercised. The fake
+# probe payloads never import jax, and every subprocess below carries an
+# outer timeout, so a regression shows up as a test failure, not a hang.
+def _tpu_like_env(**extra):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(extra)
+    return env
+
+
+def _last_json_line(stdout: str) -> dict:
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise AssertionError(f"no JSON line in output:\n{stdout}")
+
+
+def test_bench_emits_diagnostic_line_on_hung_tunnel():
+    """A probe child that never returns -> {"error": "tpu_unreachable"},
+    exit 0, well inside the driver's timeout."""
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="import time; time.sleep(300)",
+        DGTD_TPU_PROBE_TIMEOUT="1.5",
+    )
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    elapsed = time.time() - t0
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["error"] == "tpu_unreachable"
+    assert rec["value"] is None
+    assert rec["metric"].startswith("cod_bf16_384sq_bs8_infer")
+    assert rec["probe_s"] >= 1.5
+    assert elapsed < 60, f"diagnostic path took {elapsed:.0f}s"
+
+
+def test_bench_emits_diagnostic_line_on_crashing_backend():
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="import sys; sys.exit(3)",
+        DGTD_TPU_PROBE_TIMEOUT="30",
+    )
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["error"] == "tpu_probe_failed"
+    assert rec["value"] is None
+
+
+def test_bench_deadline_covers_mid_bench_hang():
+    """Probe succeeds but the worker hangs (tunnel died mid-bench): the
+    parent's overall deadline kills it and emits the diagnostic line."""
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="print('{}')",  # instant-success probe
+        DGTD_BENCH_HANG_FOR_TEST="300",
+        DGTD_BENCH_DEADLINE="2",
+    )
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["error"] == "bench_deadline_exceeded"
+    assert rec["value"] is None
+
+
+def test_graft_entry_refuses_fast_on_hung_tunnel():
+    """entry() must raise (fast) instead of blocking in backend init."""
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="import time; time.sleep(300)",
+        DGTD_TPU_PROBE_TIMEOUT="1.5",
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.entry()"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode != 0
+    assert "TPU backend unreachable" in r.stderr
+
+
+def test_probe_ok_path_reports_backend():
+    """A healthy probe returns ok + the child's backend report."""
+    from dgtd_tpu.utils.tpu_probe import probe_tpu
+
+    old = os.environ.get("DGTD_TPU_PROBE_CMD")
+    os.environ["DGTD_TPU_PROBE_CMD"] = (
+        "import json; print(json.dumps({'backend': 'tpu', 'n_devices': 1}))"
+    )
+    try:
+        probe = probe_tpu(timeout=30)
+    finally:
+        if old is None:
+            os.environ.pop("DGTD_TPU_PROBE_CMD", None)
+        else:
+            os.environ["DGTD_TPU_PROBE_CMD"] = old
+    assert probe["ok"] and probe["backend"] == "tpu" and probe["n_devices"] == 1
