@@ -56,9 +56,11 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
 
     Numeric segments under a MISSING parent create a fresh list only when
     they look like a small list index (< 10 — and only index 0 can actually
-    land, larger ones fail the hole check below); large numeric segments
-    (``-o sizes.384.bs=8``) create DICT keys instead, so numeric config keys
-    stay addressable. Numeric keys into an EXISTING dict always work."""
+    land, larger ones fail the hole check below); a numeric segment >= 10
+    under a missing parent raises immediately — neither interpretation can
+    resolve (a skipped list index, or a string-keyed shadow of a numeric
+    recipe key). Numeric keys into an EXISTING dict always work
+    (``-o sizes.384.bs=8`` on a recipe that defines ``sizes``)."""
     parts = dotted_key.split(".")
 
     def list_index(node, p):
@@ -91,11 +93,24 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
     node = cfg
     for p, nxt in zip(parts[:-1], parts[1:]):
         # Missing-parent heuristic: a small numeric next segment creates a
-        # LIST (custom_hooks.0.type), a large one a DICT with a string key
-        # (sizes.384.bs — numeric recipe keys). The two uses are ambiguous
-        # without a schema; note that a genuinely skipped large list index
-        # (custom_hooks.12 on an absent block) therefore creates a dict and
-        # fails later at the consumer, not here.
+        # LIST (custom_hooks.0.type). A numeric segment >= 10 under a MISSING
+        # parent can never be right — as a list index it skips 0..9 of a
+        # brand-new list, and as a dict it creates a string-keyed '12'
+        # shadow of a numeric recipe key — so fail loudly here instead of
+        # surfacing as a confusing downstream consumer error. (Numeric keys
+        # on EXISTING mappings resolve via dict_key above.)
+        if nxt.isdigit() and int(nxt) >= 10:
+            if isinstance(node, dict):
+                parent_missing = node.get(dict_key(node, p)) is None
+            else:  # list: missing iff appending a new slot / None hole
+                i = list_index(node, p)
+                parent_missing = i == len(node) or node[i] is None
+            if parent_missing:
+                raise KeyError(
+                    f"override segment '{nxt}' in '{dotted_key}': numeric "
+                    f"index >= 10 under missing parent '{p}' can never "
+                    "resolve — add the parent block to the recipe first"
+                )
         empty: Any = [] if nxt.isdigit() and int(nxt) < 10 else {}
         if isinstance(node, list):
             i = list_index(node, p)

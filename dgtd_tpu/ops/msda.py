@@ -450,7 +450,10 @@ def make_ms_deform_attn(
             return ms_deform_attn_pallas_fwd(
                 value, shapes, sl, aw, interpret=interpret
             )
-        return ms_deform_attn_reference(value, shapes, sl, aw)
+        # cast back to the activation dtype: the f32 sl/aw upcast otherwise
+        # promotes a bf16 value's output to f32, doubling its HBM traffic
+        # (the pallas fwd already returns value.dtype)
+        return ms_deform_attn_reference(value, shapes, sl, aw).astype(value.dtype)
 
     def fwd(value, sampling_locations, attention_weights):
         return op(value, sampling_locations, attention_weights), (

@@ -65,15 +65,26 @@ def initialize_multihost(coordinator: Optional[str] = None) -> None:
     if coordinator:
         jax.distributed.initialize(coordinator_address=coordinator)
         return
-    markers = (
+    explicit = (
         "JAX_COORDINATOR_ADDRESS",
         "COORDINATOR_ADDRESS",
         "MEGASCALE_COORDINATOR_ADDRESS",
-        "SLURM_JOB_NUM_NODES",
-        "OMPI_COMM_WORLD_SIZE",
     )
-    if any(os.environ.get(m) for m in markers):
+    if any(os.environ.get(m) for m in explicit):
         # cluster plugins auto-detect coordinator/process ids from the env
+        jax.distributed.initialize()
+        return
+
+    def _env_size(var: str) -> int:
+        try:
+            return int(os.environ.get(var, "1"))
+        except ValueError:
+            return 1
+
+    # Size markers only count above 1: a single-node SLURM job or a 1-rank
+    # OMPI launch is a plain single-process run, where coordinator
+    # auto-detection adds startup latency or fails outright.
+    if _env_size("SLURM_JOB_NUM_NODES") > 1 or _env_size("OMPI_COMM_WORLD_SIZE") > 1:
         jax.distributed.initialize()
 
 

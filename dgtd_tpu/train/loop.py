@@ -117,6 +117,18 @@ class Runner:
 
         self._eval_stats_step = jax.jit(_eval_stats)
 
+        # mixed-evaluator step: ONE forward feeding both the device-stats
+        # metrics (per-image stats) and host-path metrics (full prob map) —
+        # a host-only metric in the evaluator list must not downgrade the
+        # device-stats metrics to host recomputation
+        def _eval_stats_prob(variables, image, depth, label):
+            prob, _ = self.model.predict(
+                variables, normalize_image(image), scale_plane(depth)
+            )
+            return prob, batch_statistics(prob, scale_plane(label))
+
+        self._eval_stats_prob_step = jax.jit(_eval_stats_prob)
+
         # hooks
         self.hooks = []
         default_hooks = cfg.get("default_hooks", {}) or {}
@@ -314,20 +326,31 @@ class Runner:
         vis_dir = os.path.join(self.work_dir, "visualizations")
         n_images = 0
         t0 = time.time()
-        use_device_stats = (
+        # Per-metric device-stats gating: metrics that consume the shared
+        # on-device statistics (E/F/S/MAE — one histogram fetch serves all)
+        # keep the device path even when a host-only metric
+        # (WeightedFmeasure, mIoU) is also configured; only the host metrics
+        # pay the full-image D2H readback. The visualization path needs the
+        # prob map on host anyway, so it stays all-host.
+        device_ok = (
             bool(self.cfg.get("device_metrics", True))
             and not save_visualizations
-            and self.metrics
-            and all(getattr(m, "supports_device_stats", False) for m in self.metrics)
+            and bool(self.metrics)
         )
+        stats_metrics = (
+            [m for m in self.metrics if getattr(m, "supports_device_stats", False)]
+            if device_ok
+            else []
+        )
+        host_metrics = [m for m in self.metrics if m not in stats_metrics]
         for batch in self.val_loader:
-            if use_device_stats:
+            if stats_metrics and not host_metrics:
                 stats = self._eval_stats_step(
                     variables, batch["input"], batch["depth"], batch["label"]
                 )
                 stats = {k: np.asarray(v) for k, v in jax.device_get(stats).items()}
                 n_images += int(stats["sm"].shape[0])
-                for m in self.metrics:
+                for m in stats_metrics:
                     m.process_stats(stats)
                 continue
             if save_visualizations:
@@ -337,6 +360,15 @@ class Runner:
                 prob, extras = self._eval_extras_step(
                     variables, batch["input"], batch["depth"]
                 )
+            elif stats_metrics:
+                # mixed evaluators: one forward yields prob AND device stats
+                prob, stats = self._eval_stats_prob_step(
+                    variables, batch["input"], batch["depth"], batch["label"]
+                )
+                stats = {k: np.asarray(v) for k, v in jax.device_get(stats).items()}
+                for m in stats_metrics:
+                    m.process_stats(stats)
+                extras = None
             else:
                 prob, extras = self._eval_step(variables, batch["input"], batch["depth"]), None
             prob_np = np.asarray(jax.device_get(prob))
@@ -344,7 +376,7 @@ class Runner:
             if label_np.dtype == np.uint8:  # uint8-ingest datasets
                 label_np = label_np.astype(np.float32) / 255.0
             n_images += prob_np.shape[0]
-            for m in self.metrics:
+            for m in host_metrics:
                 m.process(prob_np, label_np)
             if save_visualizations:
                 self._dump_visualizations(vis_dir, batch, prob_np, extras)

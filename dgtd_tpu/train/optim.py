@@ -80,10 +80,16 @@ def stochastic_round_bf16(x: jnp.ndarray, key) -> jnp.ndarray:
     increment is ~1e-3 of the running value, far below bf16's ~2^-8
     relative resolution, so every increment rounds away.
     """
-    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    x32 = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
     rnd = jax.random.bits(key, x.shape, jnp.uint32) >> 16
-    rounded = (bits + rnd) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+    rounded_bits = (bits + rnd) & jnp.uint32(0xFFFF0000)
+    rounded = jax.lax.bitcast_convert_type(rounded_bits, jnp.float32)
+    # Non-finite values must pass through untouched: the +rnd carry can
+    # propagate through a NaN mantissa into the exponent/sign (0x7FFFFFFF
+    # NaN → -0.0), silently laundering a diverged second moment into a
+    # finite value and hiding the divergence from the loss/debug_nans.
+    return jnp.where(jnp.isfinite(x32), rounded, x32).astype(jnp.bfloat16)
 
 
 class ScaleByAdamBf16State(NamedTuple):

@@ -70,11 +70,13 @@ def test_set_dotted_creates_list_entries():
     # hook construction later with an opaque TypeError
     with pytest.raises(ValueError, match="skips entries"):
         set_dotted({}, "custom_hooks.1.type", "ProfilerHook")
-    # LARGE numeric segments under a missing parent are dict keys, not list
-    # indices — numeric config keys like sizes.384 stay addressable
-    cfg2 = {}
-    set_dotted(cfg2, "foo.384.bar", "x")
-    assert cfg2 == {"foo": {"384": {"bar": "x"}}}
+    # LARGE numeric segments under a MISSING parent can never resolve (as a
+    # list index it skips 0..9; as a fresh dict it creates a string-keyed
+    # shadow of a numeric recipe key) — fail here, not at the consumer
+    with pytest.raises(KeyError, match="missing parent"):
+        set_dotted({}, "foo.384.bar", "x")
+    with pytest.raises(KeyError, match="missing parent"):
+        set_dotted({}, "custom_hooks.12.type", "ProfilerHook")
     # numeric keys into an EXISTING dict always address the dict
     cfg3 = {"sizes": {"384": {"bs": 4}}}
     set_dotted(cfg3, "sizes.384.bs", 8)

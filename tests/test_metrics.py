@@ -281,3 +281,85 @@ def test_eval_folder_tool(tmp_path):
     (pred_d / "zz_other.png").unlink()
     with pytest.raises(SystemExit, match="must pair 1:1"):
         run_eval(str(pred_d), str(gt_d), ("MAE",))
+
+
+def test_val_device_stats_gating_per_metric():
+    """Per-metric device-stats gating in Runner._val_body (round-3 VERDICT
+    weak #2): a host-only metric (WeightedFmeasure) in the evaluator list
+    must NOT downgrade Smeasure/MAE to the host path — the stats metrics
+    keep consuming the shared on-device statistics from the same forward."""
+    import jax.numpy as jnp
+
+    from dgtd_tpu.metrics.device import batch_statistics
+    from dgtd_tpu.train.loop import Runner
+
+    rng = np.random.RandomState(3)
+    batches = []
+    for _ in range(2):
+        batches.append(
+            {
+                "input": jnp.asarray(rng.rand(2, 24, 24, 3), jnp.float32),
+                "depth": jnp.asarray(rng.rand(2, 24, 24, 1), jnp.float32),
+                "label": jnp.asarray((rng.rand(2, 24, 24, 1) > 0.5), jnp.float32),
+            }
+        )
+
+    def fake_prob(image):
+        # deterministic stand-in for model.predict: identical across paths
+        return jnp.clip(jnp.mean(image, axis=-1, keepdims=True), 0.0, 1.0)
+
+    class _State:
+        params = {}
+        batch_stats = {}
+
+    def make_fake(metrics, device_metrics=True):
+        calls = {"stats": 0, "stats_prob": 0, "plain": 0}
+
+        class Fake:
+            cfg = {"device_metrics": device_metrics}
+            hooks = []
+            work_dir = "/tmp/dgtd_gating_test"
+            state = _State()
+            val_loader = batches
+            epoch = 0
+
+            def log(self, rec):
+                pass
+
+            def _eval_stats_step(self, variables, image, depth, label):
+                calls["stats"] += 1
+                return batch_statistics(fake_prob(image), label)
+
+            def _eval_stats_prob_step(self, variables, image, depth, label):
+                calls["stats_prob"] += 1
+                p = fake_prob(image)
+                return p, batch_statistics(p, label)
+
+            def _eval_step(self, variables, image, depth):
+                calls["plain"] += 1
+                return fake_prob(image)
+
+        f = Fake()
+        f.metrics = metrics
+        return f, calls
+
+    # 1) mixed evaluators -> ONE fused forward per batch; S/MAE via stats,
+    #    WFm via host prob
+    sm, mae, wfm = Smeasure(), MAE(), WeightedFmeasure()
+    fake, calls = make_fake([sm, mae, wfm])
+    mixed = Runner._val_body(fake)
+    assert calls == {"stats": 0, "stats_prob": len(batches), "plain": 0}
+    assert sm._appended and mae._appended and wfm._appended
+
+    # 2) all-host reference run: same numbers for every metric
+    sm2, mae2, wfm2 = Smeasure(), MAE(), WeightedFmeasure()
+    fake2, calls2 = make_fake([sm2, mae2, wfm2], device_metrics=False)
+    host = Runner._val_body(fake2)
+    assert calls2 == {"stats": 0, "stats_prob": 0, "plain": len(batches)}
+    for k in ("COD/Smeasure", "COD/MAE", "COD/WeightedFmeasure"):
+        np.testing.assert_allclose(mixed[k], host[k], rtol=1e-4, atol=1e-6, err_msg=k)
+
+    # 3) stats-only evaluators keep the pure device path (no prob readback)
+    fake3, calls3 = make_fake([Smeasure(), MAE()])
+    Runner._val_body(fake3)
+    assert calls3 == {"stats": len(batches), "stats_prob": 0, "plain": 0}

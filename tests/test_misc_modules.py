@@ -327,6 +327,16 @@ def test_stochastic_round_bf16_unbiased_and_exact():
     for seed in range(3):
         got = stochastic_round_bf16(x, jax.random.PRNGKey(seed))
         np.testing.assert_array_equal(np.asarray(got, np.float32), np.asarray(x))
+    # non-finite values pass through: the +rnd carry could otherwise walk an
+    # all-ones NaN word into -0.0, silently hiding training divergence
+    bad = jnp.asarray([np.nan, np.inf, -np.inf, 1.0], jnp.float32)
+    # an all-ones-mantissa NaN is the worst case for carry propagation
+    worst_nan = jax.lax.bitcast_convert_type(jnp.uint32(0x7FFFFFFF), jnp.float32)
+    bad = jnp.concatenate([bad, worst_nan[None]])
+    for seed in range(4):
+        got = np.asarray(stochastic_round_bf16(bad, jax.random.PRNGKey(seed)), np.float32)
+        assert np.isnan(got[0]) and np.isnan(got[4]), got
+        assert got[1] == np.inf and got[2] == -np.inf and got[3] == 1.0, got
     # a value strictly between two bf16 neighbors averages to itself
     lo = np.float32(np.asarray(jnp.asarray(1.0, jnp.bfloat16), np.float32))
     hi = np.float32(np.asarray(jnp.nextafter(jnp.asarray(1.0, jnp.bfloat16), jnp.asarray(2.0, jnp.bfloat16)), np.float32))
