@@ -23,12 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-try:
-    if jax.default_backend() == "tpu":
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
+def _enable_tpu_compile_cache():
+    # Called from main(), not at import: backend init blocks forever on a
+    # dead axon tunnel and would hang even --help.
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
 
 def _timed_scan(fn, xs_list, repeats=3, captures=()):
@@ -197,6 +200,7 @@ def main(argv=None):
     ap.add_argument("--skip-predict", action="store_true")
     ap.add_argument("--skip-diffusion", action="store_true")
     args = ap.parse_args(argv)
+    _enable_tpu_compile_cache()
     if not args.skip_diffusion:
         check_diffusion(args.grid)
     if not args.skip_predict:

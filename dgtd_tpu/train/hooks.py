@@ -350,8 +350,15 @@ class _PretrainInit(Hook):
             self._load(runner, self.convnext_ckpt, subtree=self.convnext_subtree)
 
     def before_val(self, runner):
-        if self.val_ckpt and os.path.exists(self.val_ckpt):
-            runner.restore_checkpoint(self.val_ckpt)
+        if not self.val_ckpt:
+            return
+        if not os.path.exists(self.val_ckpt):
+            # fail loudly: silently skipping a SET val_ckpt would benchmark
+            # random weights (the reference's torch.load raises here too)
+            raise FileNotFoundError(
+                f"{type(self).__name__}: val_ckpt does not exist: {self.val_ckpt}"
+            )
+        runner.restore_checkpoint(self.val_ckpt)
 
 
 @export

@@ -20,13 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    # TPU-only: cross-machine CPU AOT cache entries can SIGILL on this host
-    if jax.default_backend() == "tpu":
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
+def _enable_tpu_compile_cache():
+    # TPU-only: cross-machine CPU AOT cache entries can SIGILL on this host.
+    # Called from main(), not at import — backend init blocks forever on a
+    # dead axon tunnel and would hang even --help.
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
 
 def main():
@@ -60,6 +63,7 @@ def main():
     args = ap.parse_args()
     if bool(args.bundle) == bool(args.checkpoint):
         ap.error("exactly one of --checkpoint or --bundle is required")
+    _enable_tpu_compile_cache()
 
     from PIL import Image
 

@@ -72,3 +72,33 @@ def test_tiny_cod_704_eval_resolution_is_pinned():
     assert p.shape == (1, 704, 704, 1)
     np.testing.assert_allclose(float(p.mean()), G704_MEAN, rtol=1e-5)
     np.testing.assert_allclose(p[0, ::256, ::256, 0].ravel(), G704_VALS, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_full_b2_predict_lowers_at_704():
+    """Real-shape pin at the CAMO/CHAMELEON/NC4K benchmark bucket for the
+    FULL flagship (PVTv2-b2 + ConvNeXt-B): predict traces and lowers at 704²
+    (no CPU compile/execute — unaffordable in-suite; the chip runs this size
+    in tools/serving_check.py). The reference model CRASHES at this size —
+    its own datasets' resolution — because MessagePassing pins img_size=384
+    (cod.py:1252; PARITY.md delta 15). Note the TPU pallas diffusion path is
+    backend-gated at trace time, so this lowers the XLA fallback — the
+    pallas lowering at serving widths is pinned by tests/test_spatial_diffusion.py
+    and the on-chip serving_check."""
+    m = cod(dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda r: m.net.init(
+            {"params": r},
+            jnp.zeros((1, 704, 704, 3)),
+            jnp.zeros((1, 704, 704, 1)),
+            train=False,
+        ),
+        jax.random.PRNGKey(0),
+    )
+    vars_s = jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes)
+    img = jax.ShapeDtypeStruct((1, 704, 704, 3), jnp.float32)
+    dep = jax.ShapeDtypeStruct((1, 704, 704, 1), jnp.float32)
+    out = jax.eval_shape(lambda v, i, d: m.predict(v, i, d)[0], vars_s, img, dep)
+    assert out.shape == (1, 704, 704, 1), out.shape
+    lowered = jax.jit(lambda v, i, d: m.predict(v, i, d)[0]).lower(vars_s, img, dep)
+    assert "704" in lowered.as_text()[:100000]

@@ -6,6 +6,8 @@ layout — spatial H sharding for the high-res serving config — also agrees,
 with XLA inserting the halo/collective traffic for convs, resizes and FFT.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -100,6 +102,48 @@ def test_recipe_train_step_lowers_at_real_shapes(data, space):
         assert n_constraints > 200, f"only {n_constraints} activation anchors"
 
 
+@pytest.mark.slow
+def test_recipe_2d_train_step_compiles_zero_fallbacks():
+    """Round-3 VERDICT #2: pin the out-of-suite 'real b2 structure at 128²
+    compiles 4×2 with 0 SPMD fallbacks' measurement (STATUS #2, 368 s CPU
+    compile) as a regression test. Lowering alone cannot see partitioner
+    fallbacks — XLA emits the 'Involuntary full rematerialization' warning
+    during SPMD partitioning at COMPILE time (the pattern MULTICHIP_r02's
+    4×2 topology produced before the spatial_constraint anchors). 128², not
+    384²: every pyramid level must divide space=2, and the CPU compile at
+    384² is not affordable in-suite."""
+    from __graft_entry__ import _SPMD_FALLBACK, _capture_fd2
+
+    # the check greps WARNING-level C++ logs; a filtered log level would
+    # make it vacuous (ADVICE r3) — the level is baked at process start
+    lvl = os.environ.get("TF_CPP_MIN_LOG_LEVEL", "0")
+    if lvl.isdigit() and int(lvl) >= 2:
+        pytest.skip("TF_CPP_MIN_LOG_LEVEL >= 2 suppresses the XLA warnings "
+                    "this test greps for")
+
+    lowered = _recipe_train_step(4, 2, size=128, batch=8)
+    with _capture_fd2() as captured:
+        try:
+            # CPU-only compile-time trims (same as the dryrun's): SPMD
+            # partitioning runs regardless of backend optimization level
+            compiled = lowered.compile(
+                compiler_options={
+                    "xla_llvm_disable_expensive_passes": True,
+                    "xla_backend_optimization_level": 1,
+                }
+            )
+        except Exception:
+            compiled = lowered.compile()
+        log = captured()
+    assert compiled is not None
+    n = log.count(_SPMD_FALLBACK)
+    assert n == 0, (
+        f"b2@128² 4×2 train step compiled with {n} involuntary-"
+        "rematerialization fallback(s) — the 2-D sharding regressed "
+        "(check parallel/mesh.py::spatial_constraint anchors)"
+    )
+
+
 @pytest.mark.parametrize("data,space", [(4, 1), (2, 2), (1, 4)])
 def test_sharded_predict_matches_single_device(tiny_model, data, space):
     m, v, img, dep, ref = tiny_model
@@ -138,6 +182,27 @@ def test_initialize_multihost_order_and_detection(monkeypatch):
     assert calls == []  # single-host: strict no-op, no backend touched
     M.initialize_multihost("host:1234")
     assert calls == [{"coordinator_address": "host:1234"}]
+    # size markers only fire above 1: a 1-node SLURM job / 1-rank OMPI
+    # launch is a plain single-process run (ADVICE r3 — coordinator
+    # auto-detection there adds latency or fails outright)
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    M.initialize_multihost(None)
+    assert len(calls) == 1  # unchanged: no auto-init
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+    M.initialize_multihost(None)
+    assert len(calls) == 2 and calls[-1] == {}  # multi-node: auto-init
+    monkeypatch.delenv("SLURM_JOB_NUM_NODES")
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "1")
+    M.initialize_multihost(None)
+    assert len(calls) == 2
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "8")
+    M.initialize_multihost(None)
+    assert len(calls) == 3 and calls[-1] == {}
+    # explicit coordinator markers always win
+    monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "c:99")
+    M.initialize_multihost(None)
+    assert len(calls) == 4 and calls[-1] == {}
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "coord:999")
     M.initialize_multihost(None)
     assert calls[-1] == {}  # env-marker path: plugin auto-detection

@@ -16,16 +16,21 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: the full train step is a multi-minute compile
-# on the remote TPU service; cache survives across runs. TPU-only: CPU AOT
-# artifacts are machine-feature-sensitive and a cache entry compiled
-# elsewhere can SIGILL on this host (observed: +prefer-no-scatter mismatch).
-try:
-    if jax.default_backend() == "tpu":
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
+
+def _enable_tpu_compile_cache():
+    """Persistent compilation cache: the full train step is a multi-minute
+    compile on the remote TPU service; cache survives across runs. TPU-only:
+    CPU AOT artifacts are machine-feature-sensitive and a cache entry
+    compiled elsewhere can SIGILL on this host (observed: +prefer-no-scatter
+    mismatch). Called from main(), NOT at import — ``jax.default_backend()``
+    initializes the backend, which blocks forever on a dead axon tunnel and
+    would hang even ``--help``."""
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
 
 def main():
@@ -36,6 +41,7 @@ def main():
     ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     ap.add_argument("--resume", default=None, help="checkpoint path to resume from")
     args = ap.parse_args()
+    _enable_tpu_compile_cache()
 
     from dgtd_tpu.core.config import get_dotted, load_config
     from dgtd_tpu.parallel.mesh import initialize_multihost
