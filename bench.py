@@ -365,13 +365,20 @@ def main():
     CPU-targeted runs (--cpu-baseline-mode / JAX_PLATFORMS=cpu) skip the
     watchdog: CPU backend init cannot hang.
     """
-    from dgtd_tpu.utils.tpu_probe import backend_is_forced_cpu, probe_tpu
+    from dgtd_tpu.utils.tpu_probe import (
+        backend_already_initialized,
+        backend_is_forced_cpu,
+        probe_tpu,
+    )
 
     args = _parse_args()
     if (
         os.environ.get("_DGTD_BENCH_WORKER") == "1"
         or args.cpu_baseline_mode
         or backend_is_forced_cpu()
+        # an already-live backend cannot hang, and a probe child would
+        # contend for the one-process axon tunnel this process holds
+        or backend_already_initialized()
     ):
         _worker_main(args)
         return

@@ -89,6 +89,25 @@ def probe_tpu(timeout: float | None = None) -> Dict:
     return {"ok": True, "probe_s": probe_s, **info}
 
 
+def backend_already_initialized() -> bool:
+    """True when THIS process already has a live jax backend.
+
+    Two reasons to check before probing: (a) touching an already-initialized
+    backend cannot hang, so the probe is unnecessary; (b) the axon tunnel
+    serves strictly ONE process at a time — a probe child spawned while this
+    process holds the tunnel would queue/hang and time out, turning a
+    healthy backend into a false 'tpu_unreachable'."""
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return False
+    try:
+        from jax._src import xla_bridge as xb
+
+        return bool(getattr(xb, "_backends", None))
+    except Exception:
+        return False
+
+
 def backend_is_forced_cpu() -> bool:
     """True when this process is already pinned to CPU (env var, disabled
     axon tunnel, or an in-process ``jax.config`` update like the test

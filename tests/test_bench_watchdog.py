@@ -138,3 +138,15 @@ def test_probe_ok_path_reports_backend():
         else:
             os.environ["DGTD_TPU_PROBE_CMD"] = old
     assert probe["ok"] and probe["backend"] == "tpu" and probe["n_devices"] == 1
+
+
+def test_backend_already_initialized_detection():
+    """Pins the private-API dependency (jax._src.xla_bridge._backends): an
+    initialized backend must be detected so entry()/bench skip the probe —
+    a probe child would contend for the one-process axon tunnel."""
+    import jax
+
+    from dgtd_tpu.utils.tpu_probe import backend_already_initialized
+
+    jax.devices()  # conftest pins CPU; initializes the backend
+    assert backend_already_initialized()
