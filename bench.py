@@ -43,17 +43,11 @@ from jax import lax
 
 
 def _enable_tpu_compile_cache():
-    """Persistent compilation cache: the full train step is a multi-minute
-    compile on the remote TPU service; cache survives across runs. Worker-only
-    — ``jax.default_backend()`` initializes the backend, which must never
-    happen in the watchdog parent. TPU-only: cross-machine CPU AOT cache
-    entries can SIGILL on this host."""
-    try:
-        if jax.default_backend() == "tpu":
-            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    """Worker-only — backend init must never happen in the watchdog parent
+    (see dgtd_tpu/utils/tpu_probe.py for the shared helper's contract)."""
+    from dgtd_tpu.utils.tpu_probe import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()
 
 
 def _train_setup(model, variables, size, batch_size, flat_opt=False, bf16_opt=False):
@@ -276,10 +270,13 @@ def _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image, wor
     # one-batch-deep prefetch, mirroring the real loader's background-thread
     # decode (data/loader.py): host decodes batch N+1 while the device runs
     # batch N; the fetch of N's stats drains one batch behind the dispatch.
-    fetch(dispatch(decode_batch(names[:batch])))  # compile + warmup
-    batches = [names[i : i + batch] for i in range(0, n_images - batch + 1, batch)]
-    done = len(batches) * batch
+    # The warmup sits INSIDE the try so a compile/decode failure can't leak
+    # the decode pool; wait=True so no in-flight decode races the caller's
+    # rmtree of the synthetic folder.
     try:
+        fetch(dispatch(decode_batch(names[:batch])))  # compile + warmup
+        batches = [names[i : i + batch] for i in range(0, n_images - batch + 1, batch)]
+        done = len(batches) * batch
         with ThreadPoolExecutor(max_workers=1) as pool:
             t0 = time.time()
             nxt = pool.submit(decode_batch, batches[0])
@@ -297,7 +294,7 @@ def _eval_e2e_body(model, variables, size, batch, n_images, tmp, rng, Image, wor
             fetch(stats)
             sec = time.time() - t0
     finally:
-        dpool.shutdown(wait=False)
+        dpool.shutdown(wait=True)
     return done / sec, "native" if use_native else "pil"
 
 
@@ -386,6 +383,11 @@ def main():
     probe = probe_tpu()
     if not probe.pop("ok"):
         _emit_failure(args, **probe)
+        return
+    # a probe child that silently fell back to CPU (axon plugin failed fast)
+    # must not let the bench publish a CPU number under the per-chip metric
+    if probe.get("backend") not in (None, "tpu", "axon"):
+        _emit_failure(args, error="tpu_backend_unavailable", **probe)
         return
 
     deadline = float(os.environ.get("DGTD_BENCH_DEADLINE", "2700"))

@@ -49,6 +49,12 @@ def _as_int(p: str):
         return None
 
 
+#: recipe keys whose values are LISTS (the full set across configs/): a
+#: numeric segment under one of these is always a list index, so a skipped
+#: index under a missing parent is diagnosable at override time
+_LIST_TYPED_KEYS = frozenset({"custom_hooks", "val_evaluator", "vis_backends"})
+
+
 def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
     """Integer path segments address (and create) LIST entries, so
     ``-o custom_hooks.0.type=our_init`` works on a recipe with no
@@ -56,10 +62,12 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
 
     Numeric segments under a MISSING parent create a fresh list only when
     they look like a small list index (< 10 — and only index 0 can actually
-    land, larger ones fail the hole check below); a numeric segment >= 10
-    under a missing parent raises immediately — neither interpretation can
-    resolve (a skipped list index, or a string-keyed shadow of a numeric
-    recipe key). Numeric keys into an EXISTING dict always work
+    land, larger ones fail the hole check below); larger ones create DICT
+    string keys so override-built numeric blocks (``-o foo.384.bar=x``)
+    work. Exception: under the schema's known LIST-typed keys
+    (``custom_hooks``, ``val_evaluator``, ``vis_backends``) a numeric
+    segment >= 10 with a missing parent raises immediately — a skipped list
+    index can never resolve. Numeric keys into an EXISTING dict always work
     (``-o sizes.384.bs=8`` on a recipe that defines ``sizes``)."""
     parts = dotted_key.split(".")
 
@@ -93,13 +101,16 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
     node = cfg
     for p, nxt in zip(parts[:-1], parts[1:]):
         # Missing-parent heuristic: a small numeric next segment creates a
-        # LIST (custom_hooks.0.type). A numeric segment >= 10 under a MISSING
-        # parent can never be right — as a list index it skips 0..9 of a
-        # brand-new list, and as a dict it creates a string-keyed '12'
-        # shadow of a numeric recipe key — so fail loudly here instead of
-        # surfacing as a confusing downstream consumer error. (Numeric keys
-        # on EXISTING mappings resolve via dict_key above.)
-        if nxt.isdigit() and int(nxt) >= 10:
+        # LIST (custom_hooks.0.type); larger numeric segments create DICT
+        # string keys (override-built numeric blocks like foo.384.bar). For
+        # the schema's KNOWN list-typed keys a numeric segment >= 10 under a
+        # missing parent can never be right — it would skip indices 0..9 of
+        # a brand-new list — so fail loudly here instead of surfacing as a
+        # confusing downstream consumer error (ADVICE r3). Non-list keys
+        # keep the dict behavior: an override-created parent has no recipe
+        # key to shadow. (Numeric keys on EXISTING mappings always resolve
+        # via dict_key above.)
+        if nxt.isdigit() and int(nxt) >= 10 and p in _LIST_TYPED_KEYS:
             if isinstance(node, dict):
                 parent_missing = node.get(dict_key(node, p)) is None
             else:  # list: missing iff appending a new slot / None hole
@@ -107,9 +118,9 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
                 parent_missing = i == len(node) or node[i] is None
             if parent_missing:
                 raise KeyError(
-                    f"override segment '{nxt}' in '{dotted_key}': numeric "
-                    f"index >= 10 under missing parent '{p}' can never "
-                    "resolve — add the parent block to the recipe first"
+                    f"override segment '{nxt}' in '{dotted_key}': list index "
+                    f">= 10 under missing parent '{p}' skips entries and can "
+                    "never resolve — add the parent block to the recipe first"
                 )
         empty: Any = [] if nxt.isdigit() and int(nxt) < 10 else {}
         if isinstance(node, list):

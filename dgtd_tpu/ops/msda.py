@@ -475,7 +475,15 @@ def make_ms_deform_attn(
             )
             return dv, dsl.astype(sl0.dtype), daw.astype(aw0.dtype)
         _, vjp = jax.vjp(
-            lambda v, s, a: ms_deform_attn_reference(v, shapes, s, a), value, sl, aw
+            # same output cast as the forward: the cotangent g arrives in
+            # value.dtype, so the vjp's primal output dtype must match it
+            # (uncast, a bf16 g against an f32 primal raises at trace time)
+            lambda v, s, a: ms_deform_attn_reference(v, shapes, s, a).astype(
+                value.dtype
+            ),
+            value,
+            sl,
+            aw,
         )
         dv, dsl, daw = vjp(g)
         return dv.astype(value.dtype), dsl.astype(sl0.dtype), daw.astype(aw0.dtype)

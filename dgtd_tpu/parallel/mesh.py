@@ -81,10 +81,17 @@ def initialize_multihost(coordinator: Optional[str] = None) -> None:
         except ValueError:
             return 1
 
-    # Size markers only count above 1: a single-node SLURM job or a 1-rank
+    # Size markers only count above 1: a 1-node 1-task SLURM job or a 1-rank
     # OMPI launch is a plain single-process run, where coordinator
-    # auto-detection adds startup latency or fails outright.
-    if _env_size("SLURM_JOB_NUM_NODES") > 1 or _env_size("OMPI_COMM_WORLD_SIZE") > 1:
+    # auto-detection adds startup latency or fails outright. SLURM needs the
+    # TASK count too — `srun -N1 -n4` is a multi-process launch on one node
+    # (SLURM_JOB_NUM_NODES=1, SLURM_NTASKS=4) and must initialize.
+    if (
+        _env_size("SLURM_JOB_NUM_NODES") > 1
+        or _env_size("SLURM_NTASKS") > 1
+        or _env_size("SLURM_STEP_NUM_TASKS") > 1
+        or _env_size("OMPI_COMM_WORLD_SIZE") > 1
+    ):
         jax.distributed.initialize()
 
 

@@ -26,12 +26,9 @@ from jax import lax
 def _enable_tpu_compile_cache():
     # Called from main(), not at import: backend init blocks forever on a
     # dead axon tunnel and would hang even --help.
-    try:
-        if jax.default_backend() == "tpu":
-            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from ..utils.tpu_probe import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()
 
 
 def _timed_scan(fn, xs_list, repeats=3, captures=()):

@@ -109,12 +109,20 @@ def backend_already_initialized() -> bool:
 
 
 def backend_is_forced_cpu() -> bool:
-    """True when this process is already pinned to CPU (env var, disabled
-    axon tunnel, or an in-process ``jax.config`` update like the test
-    conftest's) — probing TPU liveness there is pointless."""
-    plats = os.environ.get("JAX_PLATFORMS", "").strip().lower()
-    if plats == "cpu" or os.environ.get("PALLAS_AXON_POOL_IPS") == "":
-        return True
+    """True when backend init in this process provably cannot touch the axon
+    tunnel — probing TPU liveness there is pointless.
+
+    IMPORTANT: env ``JAX_PLATFORMS=cpu`` is NOT sufficient. The axon plugin
+    registers at interpreter start whenever ``PALLAS_AXON_POOL_IPS`` is
+    truthy (sitecustomize), and once registered, backend init can block on a
+    dead tunnel even under env-var CPU forcing (verified: rc=124 with
+    JAX_PLATFORMS=cpu + a truthy pool var). Only two states are hang-proof:
+    the pool var is falsy/absent (the plugin never registered), or the
+    IN-PROCESS ``jax.config.update("jax_platforms", "cpu")`` ran before any
+    backend init (the test conftest's path, verified across every suite run
+    against the dead tunnel)."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # axon never registered in this process tree
     jax = sys.modules.get("jax")
     if jax is not None:
         try:
@@ -123,3 +131,19 @@ def backend_is_forced_cpu() -> bool:
         except Exception:
             pass
     return False
+
+
+def enable_tpu_compile_cache() -> None:
+    """Persistent compilation cache — TPU-only (cross-machine CPU AOT cache
+    entries can SIGILL this host). Touches the backend: callers must only
+    invoke this where backend init is known safe (after a probe, in a
+    worker, or under a forced-CPU config), NEVER at import time — a dead
+    axon tunnel blocks backend init forever."""
+    import jax
+
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass

@@ -21,15 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 def _enable_tpu_compile_cache():
-    # TPU-only: cross-machine CPU AOT cache entries can SIGILL on this host.
     # Called from main(), not at import — backend init blocks forever on a
-    # dead axon tunnel and would hang even --help.
-    try:
-        if jax.default_backend() == "tpu":
-            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    # dead axon tunnel and would hang even --help (shared helper:
+    # dgtd_tpu/utils/tpu_probe.py).
+    from dgtd_tpu.utils.tpu_probe import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()
 
 
 def main():

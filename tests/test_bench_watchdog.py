@@ -17,13 +17,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 # Env for a child that must BELIEVE it targets TPU: strip the conftest's CPU
-# forcing so the watchdog path (not the cpu bypass) is exercised. The fake
-# probe payloads never import jax, and every subprocess below carries an
-# outer timeout, so a regression shows up as a test failure, not a hang.
+# forcing and keep the axon pool var TRUTHY (the tunnel-configured state the
+# watchdog defends against — a falsy pool var means the plugin never
+# registers and nothing can hang). The fake probe payloads never import jax,
+# and every subprocess below carries an outer timeout, so a regression shows
+# up as a test failure, not a hang.
 def _tpu_like_env(**extra):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PALLAS_AXON_POOL_IPS"] = env.get("PALLAS_AXON_POOL_IPS") or "127.0.0.1"
     env.update(extra)
     return env
 
@@ -150,3 +152,50 @@ def test_backend_already_initialized_detection():
 
     jax.devices()  # conftest pins CPU; initializes the backend
     assert backend_already_initialized()
+
+
+def test_env_cpu_does_not_bypass_watchdog():
+    """Code-review r4 finding 1 (live-verified): env JAX_PLATFORMS=cpu does
+    NOT stop the axon plugin from registering when the pool var is truthy —
+    backend init still hangs on a dead tunnel. The watchdog must therefore
+    run (and catch the hang) even under env-var CPU forcing; only the pool
+    var being falsy or the in-process jax.config update are hang-proof."""
+    env = _tpu_like_env(
+        JAX_PLATFORMS="cpu",  # must NOT count as forced-cpu
+        DGTD_TPU_PROBE_CMD="import time; time.sleep(300)",
+        DGTD_TPU_PROBE_TIMEOUT="1.5",
+    )
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["error"] == "tpu_unreachable", rec
+
+
+def test_probe_reporting_cpu_backend_fails_the_bench():
+    """Code-review r4 finding 5: a probe child that silently fell back to
+    CPU (axon plugin failed fast) must not let the bench publish a CPU
+    number under the per-chip metric."""
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD=(
+            "import json; print(json.dumps({'backend': 'cpu', 'n_devices': 1}))"
+        ),
+    )
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["error"] == "tpu_backend_unavailable", rec
+    assert rec["value"] is None

@@ -70,13 +70,17 @@ def test_set_dotted_creates_list_entries():
     # hook construction later with an opaque TypeError
     with pytest.raises(ValueError, match="skips entries"):
         set_dotted({}, "custom_hooks.1.type", "ProfilerHook")
-    # LARGE numeric segments under a MISSING parent can never resolve (as a
-    # list index it skips 0..9; as a fresh dict it creates a string-keyed
-    # shadow of a numeric recipe key) — fail here, not at the consumer
-    with pytest.raises(KeyError, match="missing parent"):
-        set_dotted({}, "foo.384.bar", "x")
+    # LARGE numeric segments under a missing NON-list parent are dict keys:
+    # override-built numeric blocks (no recipe key to shadow) keep working
+    cfg2 = {}
+    set_dotted(cfg2, "foo.384.bar", "x")
+    assert cfg2 == {"foo": {"384": {"bar": "x"}}}
+    # ...but under the schema's KNOWN list-typed keys a skipped index >= 10
+    # can never resolve — fail here, not at the consumer (ADVICE r3)
     with pytest.raises(KeyError, match="missing parent"):
         set_dotted({}, "custom_hooks.12.type", "ProfilerHook")
+    with pytest.raises(KeyError, match="missing parent"):
+        set_dotted({"val_evaluator": None}, "val_evaluator.10.type", "MAE")
     # numeric keys into an EXISTING dict always address the dict
     cfg3 = {"sizes": {"384": {"bs": 4}}}
     set_dotted(cfg3, "sizes.384.bs", 8)

@@ -204,3 +204,27 @@ def test_bf16_locations_upcast_to_f32_coordinates():
         jnp.asarray(sl, jnp.bfloat16)
     )
     assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_bf16_value_gradients_both_paths():
+    """Code-review r4 finding 2 (live-verified): the output dtype cast to
+    value.dtype must be applied INSIDE the bwd vjp's primal too — uncast,
+    a bf16 cotangent against the f32 reference primal raised at trace time
+    on the non-pallas path. Both paths must accept bf16 values end to end
+    and produce bf16 outputs + grads."""
+    value, loc, aw = make_inputs()
+    v16 = jnp.asarray(value, jnp.bfloat16)
+    for use_pallas in (False, True):
+        op = make_ms_deform_attn(SHAPES, use_pallas=use_pallas, interpret=use_pallas)
+        out = op(v16, jnp.asarray(loc), jnp.asarray(aw))
+        assert out.dtype == jnp.bfloat16, (use_pallas, out.dtype)
+
+        def loss(v, s, a):
+            return jnp.sum(op(v, s, a).astype(jnp.float32) ** 2)
+
+        dv, dsl, daw = jax.grad(loss, argnums=(0, 1, 2))(
+            v16, jnp.asarray(loc), jnp.asarray(aw)
+        )
+        assert dv.dtype == jnp.bfloat16, (use_pallas, dv.dtype)
+        assert np.isfinite(np.asarray(dv, np.float32)).all()
+        assert float(jnp.abs(dv.astype(jnp.float32)).max()) > 0

@@ -175,7 +175,7 @@ def test_initialize_multihost_order_and_detection(monkeypatch):
     for m in (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
         "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_NUM_NODES",
-        "OMPI_COMM_WORLD_SIZE",
+        "SLURM_NTASKS", "SLURM_STEP_NUM_TASKS", "OMPI_COMM_WORLD_SIZE",
     ):
         monkeypatch.delenv(m, raising=False)
     M.initialize_multihost(None)
@@ -188,21 +188,26 @@ def test_initialize_multihost_order_and_detection(monkeypatch):
     monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
     M.initialize_multihost(None)
     assert len(calls) == 1  # unchanged: no auto-init
+    # single-node MULTI-TASK srun (-N1 -n4) is a real multi-process launch
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    M.initialize_multihost(None)
+    assert len(calls) == 2 and calls[-1] == {}
+    monkeypatch.delenv("SLURM_NTASKS")
     monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
     M.initialize_multihost(None)
-    assert len(calls) == 2 and calls[-1] == {}  # multi-node: auto-init
+    assert len(calls) == 3 and calls[-1] == {}  # multi-node: auto-init
     monkeypatch.delenv("SLURM_JOB_NUM_NODES")
     monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "1")
     M.initialize_multihost(None)
-    assert len(calls) == 2
+    assert len(calls) == 3
     monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "8")
     M.initialize_multihost(None)
-    assert len(calls) == 3 and calls[-1] == {}
+    assert len(calls) == 4 and calls[-1] == {}
     # explicit coordinator markers always win
     monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "c:99")
     M.initialize_multihost(None)
-    assert len(calls) == 4 and calls[-1] == {}
+    assert len(calls) == 5 and calls[-1] == {}
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "coord:999")
     M.initialize_multihost(None)
     assert calls[-1] == {}  # env-marker path: plugin auto-detection

@@ -18,19 +18,12 @@ import jax.numpy as jnp
 
 
 def _enable_tpu_compile_cache():
-    """Persistent compilation cache: the full train step is a multi-minute
-    compile on the remote TPU service; cache survives across runs. TPU-only:
-    CPU AOT artifacts are machine-feature-sensitive and a cache entry
-    compiled elsewhere can SIGILL on this host (observed: +prefer-no-scatter
-    mismatch). Called from main(), NOT at import — ``jax.default_backend()``
-    initializes the backend, which blocks forever on a dead axon tunnel and
-    would hang even ``--help``."""
-    try:
-        if jax.default_backend() == "tpu":
-            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_dgtd")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    """Called from main(), NOT at import — backend init blocks forever on a
+    dead axon tunnel and would hang even ``--help`` (shared helper:
+    dgtd_tpu/utils/tpu_probe.py)."""
+    from dgtd_tpu.utils.tpu_probe import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()
 
 
 def main():
