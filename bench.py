@@ -359,8 +359,10 @@ def main():
     2. Re-exec this script as a worker (_DGTD_BENCH_WORKER=1) under an
        overall DGTD_BENCH_DEADLINE so a tunnel that dies MID-bench still
        produces a diagnostic line instead of an rc=124 hang.
-    CPU-targeted runs (--cpu-baseline-mode / JAX_PLATFORMS=cpu) skip the
-    watchdog: CPU backend init cannot hang.
+    Hang-proof runs skip the watchdog: --cpu-baseline-mode (in-process
+    config pin), a falsy PALLAS_AXON_POOL_IPS (the axon plugin never
+    registered), or an already-initialized backend. NOTE env
+    JAX_PLATFORMS=cpu alone is NOT hang-proof (see tpu_probe.py).
     """
     from dgtd_tpu.utils.tpu_probe import (
         backend_already_initialized,

@@ -11,7 +11,14 @@ so the platform switch must go through jax.config, not env vars.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+# For any subprocesses: JAX_PLATFORMS=cpu ALONE is not hang-proof — the axon
+# plugin registers whenever PALLAS_AXON_POOL_IPS is truthy and backend init
+# can then block on a dead tunnel even under env-var CPU forcing (r4,
+# live-verified). Clear both so every test subprocess is tunnel-free by
+# default; tests that exercise the TPU watchdog re-set the pool var
+# explicitly (test_bench_watchdog._tpu_like_env).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax
 

@@ -166,3 +166,49 @@ def test_benchmark_runbook_704_bucket(tmp_path):
     metrics = metric_lines[-1]
     for key in ("COD/Emeasure", "COD/Fmeasure", "COD/Smeasure", "COD/MAE"):
         assert key in metrics and np.isfinite(metrics[key]), metrics
+
+
+@pytest.mark.slow
+def test_bench_table_collator(tmp_path):
+    """tools/bench_table: one checkpoint load, N datasets, one table — the
+    collated form of BENCHMARK.md's per-dataset commands."""
+    import jax.numpy as jnp
+
+    from dgtd_tpu.tools.bench_table import format_markdown, run_table
+
+    cod_dir = tmp_path / "CAMO"
+    _make_cod_fixture(str(cod_dir), n=2)
+    # SOD-shaped sibling (RGB/ + GT/ + Depth/)
+    sod_dir = tmp_path / "NJU2K"
+    rng = np.random.RandomState(3)
+    for sub in ("RGB", "GT", "Depth"):
+        os.makedirs(sod_dir / sub)
+    for i in range(2):
+        img = (rng.rand(72, 72, 3) * 255).astype(np.uint8)
+        m = (rng.rand(72, 72) > 0.6).astype(np.uint8) * 255
+        Image.fromarray(img).save(sod_dir / "RGB" / f"s{i}.png")
+        Image.fromarray(m).save(sod_dir / "GT" / f"s{i}.png")
+        Image.fromarray(m).save(sod_dir / "Depth" / f"s{i}.png")
+
+    ckpt = str(tmp_path / "ckpt.npz")
+    _save_tiny_ckpt(ckpt)
+
+    overrides = [o for o in TINY_MODEL_OVERRIDES if o != "-o"] + [
+        "input_size=64",
+        f"work_dir={tmp_path / 'wd'}",
+    ]
+    rows = run_table(
+        os.path.join(REPO, "configs", "cod.yml"),
+        ckpt,
+        [f"COD_TEST:{cod_dir}", f"SOD_TEST:{sod_dir}:Depth"],
+        batch_size=2,
+        overrides=overrides,
+        dtype=jnp.float32,
+        image_size=64,
+    )
+    assert len(rows) == 2
+    for name, res in rows.items():
+        for key in ("COD/Emeasure", "COD/Fmeasure", "COD/Smeasure", "COD/MAE"):
+            assert key in res and np.isfinite(res[key]), (name, res)
+    md = format_markdown(rows)
+    assert "Smeasure" in md and md.count("|") > 10
