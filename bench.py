@@ -20,13 +20,25 @@ the readback forces completion.
 
 Hang-proofing (round-3 postmortem): a dead axon tunnel blocks backend init
 indefinitely, so this script never touches the backend in its own process
-when TPU is the target. ``main()`` first probes TPU liveness in a child with
-a hard deadline (utils/tpu_probe.py), then runs the real bench in a worker
-subprocess under an overall deadline — on a dead/dying tunnel it prints ONE
-diagnostic JSON line (``{"value": null, "error": "tpu_unreachable", ...}``)
-and exits 0 instead of handing the driver an rc=124 with no data.
+when TPU is the target. ``main()`` probes TPU liveness in a child with a
+hard deadline (utils/tpu_probe.py), RETRYING on a loop until the overall
+window minus a reserved bench-runtime budget is exhausted — a tunnel that
+recovers mid-window still yields a real number (round-4 verdict #1). The
+real bench then runs in a worker subprocess under the remaining deadline;
+on a dead/dying tunnel the script prints ONE diagnostic JSON line
+(``{"value": null, "error": "tpu_unreachable", "probe_attempts": N,
+"waited_s": S, ...}``) and exits 0 instead of handing the driver an rc=124.
+The parent captures the worker's stdout, so a worker killed mid-line can
+never glue partial output onto the diagnostic, and a worker that printed a
+valid headline line before dying in teardown keeps its measurement (the
+parent re-emits it last instead of overwriting it with a failure line).
+
 Env knobs: DGTD_TPU_PROBE_TIMEOUT (default 120 s), DGTD_BENCH_DEADLINE
-(default 2700 s), DGTD_TPU_PROBE_CMD / DGTD_BENCH_HANG_FOR_TEST (test fakes).
+(default 2700 s — the driver window), DGTD_BENCH_RESERVE (default 1500 s —
+tail budget reserved for actually running the bench; retries stop when the
+next probe could eat into it), DGTD_TPU_PROBE_RETRY (default 180 s between
+probe attempt starts), DGTD_TPU_PROBE_CMD / DGTD_BENCH_HANG_FOR_TEST /
+DGTD_BENCH_FAKE_RESULT_FOR_TEST / DGTD_BENCH_PARTIAL_FOR_TEST (test fakes).
 """
 
 import argparse
@@ -351,14 +363,52 @@ def _emit_failure(args, **fields) -> None:
     )
 
 
+def _find_headline(stdout: str, args):
+    """Last JSON line in ``stdout`` that is this bench's real measurement
+    (matching metric name, non-null value) — returns (record, raw_line) or
+    (None, None)."""
+    want = _headline_metric(args)
+    for line in reversed((stdout or "").strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and rec.get("metric") == want and rec.get("value") is not None:
+            return rec, line
+    return None, None
+
+
+def _forward_worker_output(stdout: str, stderr: str, skip_line=None) -> None:
+    """Re-print the captured worker streams on the parent's own streams.
+    Printing line-by-line guarantees a trailing newline, so anything the
+    parent emits afterwards starts on a fresh line (a worker killed
+    mid-print can otherwise glue partial output onto the diagnostic JSON
+    and break the driver's one-parseable-line contract). ``skip_line``
+    drops the headline line the parent is about to re-emit augmented."""
+    for line in (stdout or "").splitlines():
+        if skip_line is not None and line == skip_line:
+            continue
+        print(line)
+    if stderr:
+        sys.stderr.write(stderr if stderr.endswith("\n") else stderr + "\n")
+    sys.stdout.flush()
+
+
 def main():
     """Watchdog parent: never touches the jax backend itself.
 
-    1. Probe TPU liveness in a child under DGTD_TPU_PROBE_TIMEOUT — a dead
-       axon tunnel yields a fast ``{"error": "tpu_unreachable"}`` line.
-    2. Re-exec this script as a worker (_DGTD_BENCH_WORKER=1) under an
-       overall DGTD_BENCH_DEADLINE so a tunnel that dies MID-bench still
-       produces a diagnostic line instead of an rc=124 hang.
+    1. Probe TPU liveness in a child under DGTD_TPU_PROBE_TIMEOUT, on a
+       RETRY LOOP: a dead axon tunnel that recovers anywhere inside the
+       driver window (minus the reserved bench-runtime tail) still gets a
+       real measurement. Attempts start every DGTD_TPU_PROBE_RETRY seconds;
+       the loop stops when the next attempt could eat into the
+       DGTD_BENCH_RESERVE tail budget, and the diagnostic line then reports
+       ``probe_attempts`` / ``waited_s`` so the artifact proves the tunnel
+       was down for the whole window, not just at t=0.
+    2. Re-exec this script as a worker (_DGTD_BENCH_WORKER=1) under the
+       REMAINING deadline with captured output, so a tunnel that dies
+       MID-bench still produces a clean diagnostic line (and a worker that
+       crashed in teardown after printing its headline keeps the number).
     Hang-proof runs skip the watchdog: --cpu-baseline-mode (in-process
     config pin), a falsy PALLAS_AXON_POOL_IPS (the axon plugin never
     registered), or an already-initialized backend. NOTE env
@@ -367,6 +417,7 @@ def main():
     from dgtd_tpu.utils.tpu_probe import (
         backend_already_initialized,
         backend_is_forced_cpu,
+        probe_timeout,
         probe_tpu,
     )
 
@@ -382,42 +433,103 @@ def main():
         _worker_main(args)
         return
 
-    probe = probe_tpu()
-    if not probe.pop("ok"):
-        _emit_failure(args, **probe)
-        return
-    # a probe child that silently fell back to CPU (axon plugin failed fast)
-    # must not let the bench publish a CPU number under the per-chip metric
-    if probe.get("backend") not in (None, "tpu", "axon"):
-        _emit_failure(args, error="tpu_backend_unavailable", **probe)
-        return
-
     deadline = float(os.environ.get("DGTD_BENCH_DEADLINE", "2700"))
+    reserve = float(os.environ.get("DGTD_BENCH_RESERVE", "1500"))
+    retry_every = float(os.environ.get("DGTD_TPU_PROBE_RETRY", "180"))
+    t_start = time.time()
+    attempts = 0
+    probe = {}
+    while True:
+        attempts += 1
+        t_attempt = time.time()
+        probe = probe_tpu()
+        ok = probe.pop("ok", False)
+        if ok and probe.get("backend") in (None, "tpu", "axon"):
+            break  # live TPU — go bench
+        # failure (unreachable / crashed / CPU-fallback backend): retry while
+        # the window still has room for one more probe PLUS the bench itself
+        if not ok:
+            error = probe.get("error", "tpu_unreachable")
+        else:
+            # probe child silently fell back to CPU (axon plugin failed
+            # fast) — never publish a CPU number under the per-chip metric;
+            # retriable because the plugin re-probes the tunnel each time
+            error = "tpu_backend_unavailable"
+        elapsed = time.time() - t_start
+        sleep_s = max(0.0, retry_every - (time.time() - t_attempt))
+        if elapsed + sleep_s + probe_timeout() + reserve > deadline:
+            probe.pop("error", None)
+            _emit_failure(
+                args,
+                error=error,
+                probe_attempts=attempts,
+                waited_s=round(elapsed, 1),
+                **probe,
+            )
+            return
+        time.sleep(sleep_s)
+
+    waited = {
+        "probe_attempts": attempts,
+        "waited_s": round(time.time() - t_start, 1),
+        "probe_s": probe.get("probe_s"),
+    }
+    worker_timeout = max(1.0, deadline - (time.time() - t_start))
     env = dict(os.environ, _DGTD_BENCH_WORKER="1")
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
             env=env,
-            timeout=deadline,
+            timeout=worker_timeout,
+            capture_output=True,
+            text=True,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        err = e.stderr or ""
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        _forward_worker_output(out, err)
         _emit_failure(
             args,
             error="bench_deadline_exceeded",
             deadline_s=deadline,
-            probe_s=probe.get("probe_s"),
+            **waited,
         )
         return
-    if r.returncode != 0:
-        _emit_failure(args, error=f"bench_worker_exit_{r.returncode}")
+    headline, headline_raw = _find_headline(r.stdout, args)
+    _forward_worker_output(r.stdout, r.stderr, skip_line=headline_raw)
+    if headline is not None:
+        # re-emit the real measurement LAST, augmented with the watchdog's
+        # wait telemetry — a last-JSON-line driver must see the number even
+        # if the worker exited nonzero after printing it (teardown crash)
+        extra = dict(waited)
+        if r.returncode != 0:
+            extra["worker_exit"] = r.returncode
+        print(json.dumps({**headline, **extra}), flush=True)
+    elif r.returncode != 0:
+        _emit_failure(args, error=f"bench_worker_exit_{r.returncode}", **waited)
 
 
 def _worker_main(args):
-    # test hook: fake a worker that hangs mid-bench (exercises the parent's
-    # overall deadline without a TPU)
+    # test hooks (exercise the parent watchdog without a TPU):
+    # PARTIAL — write an unterminated fragment (fakes a kill mid-print),
+    # HANG — block mid-bench (exercises the parent's overall deadline),
+    # FAKE_RESULT/FAKE_EXIT — print a given line then exit with a given code
+    # (fakes a measurement that lands before a teardown crash).
+    partial = os.environ.get("DGTD_BENCH_PARTIAL_FOR_TEST")
+    if partial:
+        sys.stdout.write(partial)
+        sys.stdout.flush()
     hang = os.environ.get("DGTD_BENCH_HANG_FOR_TEST")
     if hang:
         time.sleep(float(hang))
+    fake = os.environ.get("DGTD_BENCH_FAKE_RESULT_FOR_TEST")
+    if fake:
+        print(fake, flush=True)
+        sys.exit(int(os.environ.get("DGTD_BENCH_FAKE_EXIT_FOR_TEST", "0")))
 
     if args.cpu_baseline_mode:
         jax.config.update("jax_platforms", "cpu")

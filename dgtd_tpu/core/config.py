@@ -110,13 +110,11 @@ def set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
         # keep the dict behavior: an override-created parent has no recipe
         # key to shadow. (Numeric keys on EXISTING mappings always resolve
         # via dict_key above.)
-        if nxt.isdigit() and int(nxt) >= 10 and p in _LIST_TYPED_KEYS:
-            if isinstance(node, dict):
-                parent_missing = node.get(dict_key(node, p)) is None
-            else:  # list: missing iff appending a new slot / None hole
-                i = list_index(node, p)
-                parent_missing = i == len(node) or node[i] is None
-            if parent_missing:
+        # (node is always a dict here: p ∈ _LIST_TYPED_KEYS is a non-numeric
+        # name, and a list node would have rejected it in list_index —
+        # ADVICE r4 removed the unreachable list branch)
+        if nxt.isdigit() and int(nxt) >= 10 and p in _LIST_TYPED_KEYS and isinstance(node, dict):
+            if node.get(dict_key(node, p)) is None:
                 raise KeyError(
                     f"override segment '{nxt}' in '{dotted_key}': list index "
                     f">= 10 under missing parent '{p}' skips entries and can "
