@@ -111,15 +111,56 @@ def test_recipe_2d_train_step_compiles_zero_fallbacks():
     during SPMD partitioning at COMPILE time (the pattern MULTICHIP_r02's
     4×2 topology produced before the spatial_constraint anchors). 128², not
     384²: every pyramid level must divide space=2, and the CPU compile at
-    384² is not affordable in-suite."""
-    from __graft_entry__ import _SPMD_FALLBACK, _capture_fd2
+    384² is not affordable in-suite.
 
-    # the check greps WARNING-level C++ logs; a filtered log level would
-    # make it vacuous (ADVICE r3) — the level is baked at process start
-    lvl = os.environ.get("TF_CPP_MIN_LOG_LEVEL", "0")
-    if lvl.isdigit() and int(lvl) >= 2:
-        pytest.skip("TF_CPP_MIN_LOG_LEVEL >= 2 suppresses the XLA warnings "
-                    "this test greps for")
+    Round-4 verdict #3: the check greps WARNING-level C++ logs and
+    TF_CPP_MIN_LOG_LEVEL is baked at extension load, so the compile runs in
+    a CLEAN SUBPROCESS with the level forced to 1 (the dryrun's own
+    mechanism, __graft_entry__.py) — the test asserts in EVERY environment
+    instead of skipping itself vacuously where the level is >= 2."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # axon tunnel never registers
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TF_CPP_MIN_LOG_LEVEL"] = "1"  # XLA warnings visible to the grep
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--zero-fallback-child"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "ZERO_FALLBACK_CHILD " in r.stdout, (
+        f"child never reached the fallback count\n--- stdout ---\n"
+        f"{r.stdout[-2000:]}\n--- stderr ---\n{r.stderr[-2000:]}"
+    )
+    n = int(r.stdout.split("ZERO_FALLBACK_CHILD ")[-1].split()[0])
+    assert r.returncode == 0 and n == 0, (
+        f"b2@128² 4×2 train step compiled with {n} involuntary-"
+        "rematerialization fallback(s) — the 2-D sharding regressed "
+        "(check parallel/mesh.py::spatial_constraint anchors)\n"
+        f"{r.stderr[-2000:]}"
+    )
+
+
+def _zero_fallback_child() -> None:
+    """Subprocess body for the test above: compile the real-shape 2-D train
+    step with fd-2 captured and print the fallback count. Runs with the axon
+    sitecustomize disabled and TF_CPP_MIN_LOG_LEVEL=1 (set by the parent)."""
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+    from __graft_entry__ import _SPMD_FALLBACK, _capture_fd2
 
     lowered = _recipe_train_step(4, 2, size=128, batch=8)
     with _capture_fd2() as captured:
@@ -137,11 +178,8 @@ def test_recipe_2d_train_step_compiles_zero_fallbacks():
         log = captured()
     assert compiled is not None
     n = log.count(_SPMD_FALLBACK)
-    assert n == 0, (
-        f"b2@128² 4×2 train step compiled with {n} involuntary-"
-        "rematerialization fallback(s) — the 2-D sharding regressed "
-        "(check parallel/mesh.py::spatial_constraint anchors)"
-    )
+    print(f"ZERO_FALLBACK_CHILD {n}", flush=True)
+    raise SystemExit(0 if n == 0 else 1)
 
 
 @pytest.mark.parametrize("data,space", [(4, 1), (2, 2), (1, 4)])
@@ -216,3 +254,10 @@ def test_initialize_multihost_order_and_detection(monkeypatch):
 
     body = inspect.getsource(M.initialize_multihost).split('"""')[-1]
     assert "process_count" not in body  # the call, not the docstring mention
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    if "--zero-fallback-child" in _sys.argv:
+        _zero_fallback_child()
