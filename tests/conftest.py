@@ -20,6 +20,20 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
+# Compile-time trims, CPU-test-only (round-4 verdict #7: the fast suite had
+# crept to ~11 min, dominated by XLA CPU compiles of jitted full-model
+# graphs). Same trims the multichip dryrun and the zero-fallback compile
+# test already use: they skip expensive LLVM passes / backend optimization,
+# which changes compile TIME only — op semantics are unchanged, so oracle
+# tolerances are unaffected. Parsed at first backend init, so setting them
+# here (before any test touches jax) is effective despite the sitecustomize
+# pre-import.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_llvm_disable_expensive_passes=true"
+    + " --xla_backend_optimization_level=1"
+).strip()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

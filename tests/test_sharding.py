@@ -20,11 +20,20 @@ from dgtd_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
 @pytest.fixture(scope="module")
 def tiny_model():
+    # 1-step diffusion / 1-iter refinement / 8-dim tower: sharded-vs-single
+    # numerics parity is model-size-agnostic, and the heavy defaults
+    # (4-step diffusion, 4-iter CFM) were ~100 s of eager fixture setup on
+    # the 1-core box (round-4 verdict #7). Multi-step paths keep coverage in
+    # test_hitnet / test_losses_diffusion / the torch-oracle composition.
     m = cod(
         dtype=jnp.float32,
         variant="b0",
-        convnext_dims=(16, 32, 64, 128),
-        convnext_depths=(1, 1, 2, 1),
+        channel=8,
+        latent_dim=8,
+        diffusion_steps=1,
+        refine_iters=1,
+        convnext_dims=(8, 16, 32, 64),
+        convnext_depths=(1, 1, 1, 1),
     )
     v = m.init(jax.random.PRNGKey(0), (1, 48, 48, 3))
     rng = np.random.RandomState(0)
