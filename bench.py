@@ -575,6 +575,10 @@ def main():
         print(json.dumps({**headline, **extra}), flush=True)
     elif r.returncode != 0:
         _emit_failure(args, error=f"bench_worker_exit_{r.returncode}", **waited)
+    else:
+        # rc=0 but no valid headline line: anomalous, but the driver
+        # contract is ONE parseable JSON line no matter what
+        _emit_failure(args, error="bench_no_headline", **waited)
 
 
 def _worker_main(args):

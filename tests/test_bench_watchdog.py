@@ -305,6 +305,28 @@ def test_bench_worker_teardown_crash_keeps_headline():
     assert "bench_worker_exit_3" not in r.stdout
 
 
+def test_bench_worker_clean_exit_without_headline_still_emits_line():
+    """A worker that exits 0 without ever printing a valid headline
+    (anomalous — wrong metric name, empty output) must still leave the
+    driver ONE parseable JSON line: a bench_no_headline diagnostic."""
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="print('{}')",
+        DGTD_BENCH_FAKE_RESULT_FOR_TEST='{"metric": "wrong_metric", "value": 1.0}',
+    )
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["error"] == "bench_no_headline", rec
+    assert rec["value"] is None
+
+
 def test_bench_partial_output_does_not_glue_diagnostic():
     """Advisor r4 #1: a worker killed mid-print must not glue its partial
     line onto the parent's diagnostic JSON. The fake worker writes an
