@@ -1,0 +1,89 @@
+"""The on-chip revalidation sweep tool (round-4 verdict #2 staging).
+
+The real sweep needs the TPU; CI proves the harness: the MSDA micro-bench
+child executes end to end on CPU (interpret-mode Pallas, tiny shapes), and
+the collation/drift logic is pinned against synthetic sweep outputs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+from dgtd_tpu.tools import revalidate_onchip as R
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_msda_child_tiny_runs_on_cpu():
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "dgtd_tpu.tools.revalidate_onchip",
+         "--msda-child", "--tiny"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "msda_tiny_smoke"
+    for k in ("pallas_fwd_ms", "reference_fwd_ms", "pallas_bwd_ms",
+              "reference_bwd_ms", "fwd_speedup", "bwd_speedup"):
+        assert isinstance(rec[k], (int, float)) and rec[k] > 0, (k, rec)
+
+
+def test_export_child_tiny_roundtrips_on_cpu():
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "dgtd_tpu.tools.revalidate_onchip",
+         "--export-child", "--tiny"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "serving_bundle_roundtrip_48"
+    assert rec["finite"] is True
+    assert rec["load_s"] < 30 and rec["run_ms"] > 0
+
+
+def test_collate_extracts_pinned_metrics_and_flags_drift():
+    bench_line = {
+        "metric": "cod_bf16_384sq_bs8_infer_images_per_sec_per_chip",
+        "value": 231.0,  # within 5% of the 231.4 pin
+        "train_images_per_sec_bs32": 70.0,  # -10.7% vs 78.4 -> flagged
+        "infer_512_images_per_sec": 122.0,
+    }
+    steps = [
+        {"name": "bench", "lines": [bench_line]},
+        {"name": "serving", "lines": [
+            {"check": "predict_704sq_bs1", "ms_per_image": 26.6},
+            {"check": "predict_1024sq_bs1", "ms_per_image": 75.0},  # +23.6%
+        ]},
+        {"name": "msda", "lines": [
+            {"metric": "msda_detection_scale_n2m8d32p4",
+             "pallas_fwd_ms": 9.9, "reference_fwd_ms": 62.0},
+        ]},
+    ]
+    measured, flags = R.collate(steps)
+    assert measured["infer_384_bs8_img_s"] == 231.0
+    assert measured["serving_704_ms_per_image"] == 26.6
+    assert measured["msda_pallas_fwd_ms"] == 9.9
+    assert set(flags) == {"train_bs32_img_s", "serving_1024_ms_per_image"}
+    assert flags["train_bs32_img_s"]["drift_pct"] == -10.7
+    assert flags["serving_1024_ms_per_image"]["drift_pct"] == 23.6
+
+
+def test_collate_empty_sweep_is_clean():
+    measured, flags = R.collate([{"name": "bench", "lines": []}])
+    assert measured == {} and flags == {}
+
+
+def test_drift_handles_missing():
+    assert R._drift(None, 10.0) is None
+    assert R._drift(11.0, 10.0) == 10.0
