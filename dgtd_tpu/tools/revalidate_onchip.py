@@ -153,7 +153,6 @@ def _export_child(tiny: bool = False) -> None:
 
     size = 48 if tiny else 384
     out = tempfile.mkdtemp(prefix="dgtd_reval_export_")
-    cfg_path = None
     try:
         argv = ["--sizes", str(size), "--out", out]
         if tiny:
