@@ -19,8 +19,18 @@ on-chip figures, and drift >5% is flagged. Writes ``REVALIDATION.json`` at
 the repo root and prints a human summary. Report-only: drift flags never
 change the exit code (the artifact is for reading, not gating).
 
+The sweep is PROBE-GATED: a dead axon tunnel would otherwise burn hours of
+child timeouts (each step's child blocks in backend init until killed). A
+bounded probe (utils/tpu_probe.py) runs first; if the tunnel is down the
+sweep writes a diagnostic artifact and exits fast — or, with
+``--wait-for-tunnel``, re-probes every ``--wait-retry`` seconds (default
+300) up to ``--wait-max`` seconds (default 9 h) and launches the sweep the
+moment the tunnel recovers, so it can be left running in the background
+across an outage.
+
 Usage:
   python -m dgtd_tpu.tools.revalidate_onchip            # full sweep
+  python -m dgtd_tpu.tools.revalidate_onchip --wait-for-tunnel   # outage mode
   python -m dgtd_tpu.tools.revalidate_onchip --msda-child    # (internal)
   python -m dgtd_tpu.tools.revalidate_onchip --export-child  # (internal)
 """
@@ -264,6 +274,48 @@ def collate(steps: list) -> tuple:
     return measured, drift_flags
 
 
+def _gate_on_tunnel(args) -> tuple:
+    """Bounded TPU-liveness gate before the sweep spawns any backend-touching
+    child (a dead tunnel blocks each child in backend init until its step
+    timeout — hours of burned window). Returns (ok, gate_record). With
+    ``--wait-for-tunnel``, re-probes every ``--wait-retry`` seconds until
+    ``--wait-max`` is exhausted, so the sweep self-triggers on recovery."""
+    from ..utils.tpu_probe import backend_is_forced_cpu, probe_tpu
+
+    if backend_is_forced_cpu():
+        # CPU-forced process tree (CI smoke): nothing can hang, no gate needed
+        return True, {"gate": "skipped_cpu_forced"}
+    t0 = time.time()
+    attempts = 0
+    while True:
+        attempts += 1
+        t_attempt = time.time()
+        probe = probe_tpu()
+        ok = probe.pop("ok", False)
+        record = {
+            "probe_attempts": attempts,
+            "waited_s": round(time.time() - t0, 1),
+            **probe,
+        }
+        if ok and probe.get("backend") in (None, "tpu", "axon"):
+            return True, record
+        if ok:
+            # probe child silently fell back to CPU — not a usable chip
+            record["error"] = "tpu_backend_unavailable"
+        elapsed = time.time() - t0
+        sleep_s = max(0.0, args.wait_retry - (time.time() - t_attempt))
+        if not args.wait_for_tunnel or elapsed + sleep_s > args.wait_max:
+            record.setdefault("error", "tpu_unreachable")
+            return False, record
+        print(
+            f"[revalidate] tunnel down (attempt {attempts}: "
+            f"{record.get('error', 'tpu_unreachable')}); next probe in "
+            f"{sleep_s:.0f}s",
+            flush=True,
+        )
+        time.sleep(sleep_s)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--msda-child", action="store_true")
@@ -273,6 +325,12 @@ def main(argv=None):
     ap.add_argument("--skip-serving", action="store_true")
     ap.add_argument("--skip-msda", action="store_true")
     ap.add_argument("--skip-export", action="store_true")
+    ap.add_argument("--wait-for-tunnel", action="store_true",
+                    help="re-probe across an outage and run on recovery")
+    ap.add_argument("--wait-retry", type=float, default=300.0,
+                    help="seconds between probe attempt starts in wait mode")
+    ap.add_argument("--wait-max", type=float, default=32400.0,
+                    help="give up waiting after this many seconds (default 9 h)")
     ap.add_argument("--out", default=os.path.join(REPO, "REVALIDATION.json"))
     args = ap.parse_args(argv)
     if args.msda_child:
@@ -280,6 +338,31 @@ def main(argv=None):
         return
     if args.export_child:
         _export_child(tiny=args.tiny)
+        return
+
+    ok, gate = _gate_on_tunnel(args)
+    if not ok:
+        artifact = {
+            "error": gate.get("error", "tpu_unreachable"),
+            "gate": gate,
+            "pins": PINS,
+            "measured": {},
+            "drift_flags": {},
+            "steps": [],
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"[revalidate] wrote {args.out} (tunnel never came up)", flush=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "revalidation_sweep",
+                    "error": artifact["error"],
+                    "gate": gate,
+                }
+            ),
+            flush=True,
+        )
         return
 
     py = sys.executable
@@ -303,6 +386,7 @@ def main(argv=None):
     measured, drift_flags = collate(results)
 
     artifact = {
+        "gate": gate,
         "pins": PINS,
         "measured": measured,
         "drift_flags": drift_flags,

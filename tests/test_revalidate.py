@@ -87,3 +87,104 @@ def test_collate_empty_sweep_is_clean():
 def test_drift_handles_missing():
     assert R._drift(None, 10.0) is None
     assert R._drift(11.0, 10.0) == 10.0
+
+
+def _tpu_like_env(**extra):
+    """A child that must BELIEVE it targets TPU: strip the conftest's CPU
+    forcing, keep the axon pool var truthy (same recipe as the bench
+    watchdog tests). The fake probes never import jax, so nothing hangs."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PALLAS_AXON_POOL_IPS"] = env.get("PALLAS_AXON_POOL_IPS") or "127.0.0.1"
+    env.update(extra)
+    return env
+
+
+def test_sweep_gates_fast_on_dead_tunnel(tmp_path):
+    """A dead tunnel must NOT burn hours of per-step child timeouts: the
+    probe gate writes a diagnostic artifact and exits fast, rc=0."""
+    out = tmp_path / "REVAL.json"
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="import sys; sys.exit(3)",
+        DGTD_TPU_PROBE_TIMEOUT="5",
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "dgtd_tpu.tools.revalidate_onchip",
+         "--out", str(out)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    artifact = json.loads(out.read_text())
+    assert artifact["error"] == "tpu_probe_failed"
+    assert artifact["steps"] == [] and artifact["measured"] == {}
+    assert artifact["gate"]["probe_attempts"] == 1
+
+
+def test_sweep_wait_mode_runs_on_tunnel_recovery(tmp_path):
+    """--wait-for-tunnel: the sweep must launch the moment a probe succeeds
+    (fake probe fails twice, recovers on attempt 3). All steps skipped so
+    only the gate behavior is under test."""
+    out = tmp_path / "REVAL.json"
+    counter = tmp_path / "probe_count"
+    probe_cmd = (
+        "import json, os, sys\n"
+        f"f = {str(counter)!r}\n"
+        "n = int(open(f).read()) if os.path.exists(f) else 0\n"
+        "open(f, 'w').write(str(n + 1))\n"
+        "if n < 2:\n"
+        "    sys.exit(3)\n"
+        "print(json.dumps({'backend': 'tpu', 'n_devices': 1}))\n"
+    )
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD=probe_cmd,
+        DGTD_TPU_PROBE_TIMEOUT="30",
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "dgtd_tpu.tools.revalidate_onchip",
+         "--wait-for-tunnel", "--wait-retry", "0.1",
+         "--skip-bench", "--skip-serving", "--skip-msda", "--skip-export",
+         "--out", str(out)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    artifact = json.loads(out.read_text())
+    assert "error" not in artifact, artifact
+    assert artifact["gate"]["probe_attempts"] == 3
+    assert artifact["gate"]["backend"] == "tpu"
+
+
+def test_sweep_wait_mode_gives_up_at_wait_max(tmp_path):
+    """wait mode with a never-recovering tunnel must stop at --wait-max with
+    the diagnostic artifact (not loop forever)."""
+    out = tmp_path / "REVAL.json"
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="import sys; sys.exit(3)",
+        DGTD_TPU_PROBE_TIMEOUT="5",
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "dgtd_tpu.tools.revalidate_onchip",
+         "--wait-for-tunnel", "--wait-retry", "0.1", "--wait-max", "12",
+         "--out", str(out)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    artifact = json.loads(out.read_text())
+    assert artifact["error"] == "tpu_probe_failed"
+    # each probe child pays the sitecustomize jax import (seconds, load-
+    # dependent), so the attempt count inside the 12-s window varies — the
+    # property under test is the bounded give-up, not the cadence (the
+    # recovery test above pins multi-attempt looping)
+    assert artifact["gate"]["probe_attempts"] >= 1
+    assert artifact["gate"]["waited_s"] <= 60
