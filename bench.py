@@ -216,7 +216,11 @@ def bench_train(model, variables, args):
                 **roofline,
                 "device": str(jax.devices()[0]),
             }
-        )
+        ),
+        # worker stdout is a captured pipe (block-buffered): the headline
+        # must hit the pipe immediately or a teardown hang + deadline
+        # SIGKILL discards the measurement from the parent's e.stdout
+        flush=True,
     )
 
 
@@ -482,7 +486,7 @@ def main():
         backend_already_initialized,
         backend_is_forced_cpu,
         probe_timeout,
-        probe_tpu,
+        probe_tpu_retrying,
     )
 
     args = _parse_args()
@@ -501,42 +505,21 @@ def main():
     reserve = float(os.environ.get("DGTD_BENCH_RESERVE", "1500"))
     retry_every = float(os.environ.get("DGTD_TPU_PROBE_RETRY", "180"))
     t_start = time.time()
-    attempts = 0
-    probe = {}
-    while True:
-        attempts += 1
-        t_attempt = time.time()
-        probe = probe_tpu()
-        ok = probe.pop("ok", False)
-        if ok and probe.get("backend") in (None, "tpu", "axon"):
-            break  # live TPU — go bench
-        # failure (unreachable / crashed / CPU-fallback backend): retry while
-        # the window still has room for one more probe PLUS the bench itself
-        if not ok:
-            error = probe.get("error", "tpu_unreachable")
-        else:
-            # probe child silently fell back to CPU (axon plugin failed
-            # fast) — never publish a CPU number under the per-chip metric;
-            # retriable because the plugin re-probes the tunnel each time
-            error = "tpu_backend_unavailable"
-        elapsed = time.time() - t_start
-        sleep_s = max(0.0, retry_every - (time.time() - t_attempt))
-        if elapsed + sleep_s + probe_timeout() + reserve > deadline:
-            probe.pop("error", None)
-            _emit_failure(
-                args,
-                error=error,
-                probe_attempts=attempts,
-                waited_s=round(elapsed, 1),
-                **probe,
-            )
-            return
-        time.sleep(sleep_s)
+    # retry while the window still has room for one more probe PLUS the
+    # reserved bench-runtime tail (shared loop: utils/tpu_probe.py)
+    ok, record = probe_tpu_retrying(
+        retry_every,
+        lambda elapsed, sleep_s: elapsed + sleep_s + probe_timeout() + reserve
+        <= deadline,
+    )
+    if not ok:
+        _emit_failure(args, **record)
+        return
 
     waited = {
-        "probe_attempts": attempts,
-        "waited_s": round(time.time() - t_start, 1),
-        "probe_s": probe.get("probe_s"),
+        "probe_attempts": record["probe_attempts"],
+        "waited_s": record["waited_s"],
+        "probe_s": record.get("probe_s"),
     }
     worker_timeout = max(1.0, deadline - (time.time() - t_start))
     env = dict(os.environ, _DGTD_BENCH_WORKER="1")
@@ -555,13 +538,23 @@ def main():
         err = e.stderr or ""
         if isinstance(err, bytes):
             err = err.decode(errors="replace")
-        _forward_worker_output(out, err)
-        _emit_failure(
-            args,
-            error="bench_deadline_exceeded",
-            deadline_s=deadline,
-            **waited,
-        )
+        # a worker that printed its valid headline and THEN hung in teardown
+        # (the dead-tunnel blocking-C++-client mode this watchdog exists for)
+        # keeps its measurement, exactly like the teardown-CRASH path below
+        headline, headline_raw = _find_headline(out, args)
+        _forward_worker_output(out, err, skip_line=headline_raw)
+        if headline is not None:
+            print(
+                json.dumps({**headline, **waited, "worker_timeout": True}),
+                flush=True,
+            )
+        else:
+            _emit_failure(
+                args,
+                error="bench_deadline_exceeded",
+                deadline_s=deadline,
+                **waited,
+            )
         return
     headline, headline_raw = _find_headline(r.stdout, args)
     _forward_worker_output(r.stdout, r.stderr, skip_line=headline_raw)
@@ -597,6 +590,12 @@ def _worker_main(args):
     fake = os.environ.get("DGTD_BENCH_FAKE_RESULT_FOR_TEST")
     if fake:
         print(fake, flush=True)
+        # HANG_AFTER fakes a teardown HANG following a valid measurement
+        # (dead tunnel blocking the C++ client at exit) — distinct from
+        # FAKE_EXIT's teardown CRASH
+        hang_after = os.environ.get("DGTD_BENCH_HANG_AFTER_RESULT_FOR_TEST")
+        if hang_after:
+            time.sleep(float(hang_after))
         sys.exit(int(os.environ.get("DGTD_BENCH_FAKE_EXIT_FOR_TEST", "0")))
 
     if args.cpu_baseline_mode:
@@ -695,7 +694,9 @@ def _worker_main(args):
                 **extra_fields,
                 "device": str(jax.devices()[0]),
             }
-        )
+        ),
+        # captured-pipe block buffering: see bench_train's headline print
+        flush=True,
     )
 
 

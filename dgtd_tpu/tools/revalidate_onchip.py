@@ -248,24 +248,30 @@ def _drift(measured, pin):
 
 def collate(steps: list) -> tuple:
     """Pull the pinned metrics out of the sweep steps' JSON records.
-    Returns (measured, drift_flags)."""
+    Returns (measured, drift_flags). A matched record with a MISSING field
+    (e.g. a check that errored and emitted a partial line) must not write a
+    null into ``measured`` — null reads as 'measured, value null' and makes
+    key-set comparisons against PINS count it as covered."""
     measured = {}
+
+    def put(key, value):
+        if value is not None:
+            measured[key] = value
+
     for step in steps:
         for rec in step.get("lines", []):
             m = rec.get("metric", "") or rec.get("check", "")
             if m.startswith("cod_bf16_384sq_bs8_infer") and rec.get("value"):
-                measured["infer_384_bs8_img_s"] = rec["value"]
-                if rec.get("train_images_per_sec_bs32"):
-                    measured["train_bs32_img_s"] = rec["train_images_per_sec_bs32"]
-                if rec.get("infer_512_images_per_sec"):
-                    measured["infer_512_img_s"] = rec["infer_512_images_per_sec"]
+                put("infer_384_bs8_img_s", rec["value"])
+                put("train_bs32_img_s", rec.get("train_images_per_sec_bs32"))
+                put("infer_512_img_s", rec.get("infer_512_images_per_sec"))
             elif m == "predict_704sq_bs1":
-                measured["serving_704_ms_per_image"] = rec.get("ms_per_image")
+                put("serving_704_ms_per_image", rec.get("ms_per_image"))
             elif m == "predict_1024sq_bs1":
-                measured["serving_1024_ms_per_image"] = rec.get("ms_per_image")
+                put("serving_1024_ms_per_image", rec.get("ms_per_image"))
             elif m.startswith("msda_detection_scale"):
-                measured["msda_pallas_fwd_ms"] = rec.get("pallas_fwd_ms")
-                measured["msda_reference_fwd_ms"] = rec.get("reference_fwd_ms")
+                put("msda_pallas_fwd_ms", rec.get("pallas_fwd_ms"))
+                put("msda_reference_fwd_ms", rec.get("reference_fwd_ms"))
     drift_flags = {}
     for key, pin in PINS.items():
         d = _drift(measured.get(key), pin)
@@ -280,40 +286,25 @@ def _gate_on_tunnel(args) -> tuple:
     timeout — hours of burned window). Returns (ok, gate_record). With
     ``--wait-for-tunnel``, re-probes every ``--wait-retry`` seconds until
     ``--wait-max`` is exhausted, so the sweep self-triggers on recovery."""
-    from ..utils.tpu_probe import backend_is_forced_cpu, probe_tpu
+    from ..utils.tpu_probe import backend_is_forced_cpu, probe_tpu_retrying
 
     if backend_is_forced_cpu():
         # CPU-forced process tree (CI smoke): nothing can hang, no gate needed
         return True, {"gate": "skipped_cpu_forced"}
-    t0 = time.time()
-    attempts = 0
-    while True:
-        attempts += 1
-        t_attempt = time.time()
-        probe = probe_tpu()
-        ok = probe.pop("ok", False)
-        record = {
-            "probe_attempts": attempts,
-            "waited_s": round(time.time() - t0, 1),
-            **probe,
-        }
-        if ok and probe.get("backend") in (None, "tpu", "axon"):
-            return True, record
-        if ok:
-            # probe child silently fell back to CPU — not a usable chip
-            record["error"] = "tpu_backend_unavailable"
-        elapsed = time.time() - t0
-        sleep_s = max(0.0, args.wait_retry - (time.time() - t_attempt))
-        if not args.wait_for_tunnel or elapsed + sleep_s > args.wait_max:
-            record.setdefault("error", "tpu_unreachable")
-            return False, record
+
+    def _announce(record, sleep_s):
         print(
-            f"[revalidate] tunnel down (attempt {attempts}: "
-            f"{record.get('error', 'tpu_unreachable')}); next probe in "
-            f"{sleep_s:.0f}s",
+            f"[revalidate] tunnel down (attempt {record['probe_attempts']}: "
+            f"{record['error']}); next probe in {sleep_s:.0f}s",
             flush=True,
         )
-        time.sleep(sleep_s)
+
+    return probe_tpu_retrying(
+        args.wait_retry,
+        lambda elapsed, sleep_s: args.wait_for_tunnel
+        and elapsed + sleep_s <= args.wait_max,
+        on_wait=_announce,
+    )
 
 
 def main(argv=None):
@@ -368,7 +359,15 @@ def main(argv=None):
     py = sys.executable
     steps = []
     if not args.skip_bench:
-        steps.append(("bench", [py, os.path.join(REPO, "bench.py")], 3600))
+        # bench.py runs its own probe-retry watchdog inside
+        # DGTD_BENCH_DEADLINE (inherited by the child): the step timeout
+        # must sit ABOVE that deadline or a mid-sweep tunnel death gets the
+        # bench killed while legitimately waiting, losing even its
+        # diagnostic line
+        bench_deadline = float(os.environ.get("DGTD_BENCH_DEADLINE", "2700"))
+        steps.append(
+            ("bench", [py, os.path.join(REPO, "bench.py")], bench_deadline + 900)
+        )
     if not args.skip_serving:
         steps.append(
             ("serving", [py, "-m", "dgtd_tpu.tools.serving_check", "--sizes", "704", "1024"], 2400)

@@ -89,6 +89,54 @@ def probe_tpu(timeout: float | None = None) -> Dict:
     return {"ok": True, "probe_s": probe_s, **info}
 
 
+#: probe-child backend reports that count as a live TPU (None = a probe
+#: payload that reports no backend field, e.g. the bare '{}' test fake)
+LIVE_TPU_BACKENDS = (None, "tpu", "axon")
+
+
+def probe_tpu_retrying(retry_every: float, can_retry, on_wait=None) -> tuple:
+    """Retry ``probe_tpu`` until a live TPU backend appears or the caller's
+    budget runs out — the shared loop behind bench.py's watchdog and the
+    revalidation sweep's gate (one definition, or the two diverge).
+
+    ``can_retry(elapsed_s, sleep_s)`` decides whether ANOTHER attempt fits
+    the caller's budget after a failure; ``on_wait(record, sleep_s)`` (if
+    given) is called before each sleep. Attempts start ``retry_every``
+    seconds apart (never overlapping — the probe child itself takes time).
+
+    Returns ``(ok, record)`` where record always carries ``probe_attempts``
+    and ``waited_s`` plus the last probe's fields; on failure it also has
+    ``error`` (``tpu_backend_unavailable`` when the probe child silently
+    fell back to a non-TPU backend — never publish a CPU number under a
+    per-chip metric)."""
+    import time as _time
+
+    t0 = _time.time()
+    attempts = 0
+    while True:
+        attempts += 1
+        t_attempt = _time.time()
+        probe = probe_tpu()
+        ok = probe.pop("ok", False)
+        record = {
+            "probe_attempts": attempts,
+            "waited_s": round(_time.time() - t0, 1),
+            **probe,
+        }
+        if ok and probe.get("backend") in LIVE_TPU_BACKENDS:
+            return True, record
+        record["error"] = (
+            probe.get("error", "tpu_unreachable") if not ok else "tpu_backend_unavailable"
+        )
+        elapsed = _time.time() - t0
+        sleep_s = max(0.0, retry_every - (_time.time() - t_attempt))
+        if not can_retry(elapsed, sleep_s):
+            return False, record
+        if on_wait is not None:
+            on_wait(record, sleep_s)
+        _time.sleep(sleep_s)
+
+
 def backend_already_initialized() -> bool:
     """True when THIS process already has a live jax backend.
 

@@ -305,6 +305,36 @@ def test_bench_worker_teardown_crash_keeps_headline():
     assert "bench_worker_exit_3" not in r.stdout
 
 
+def test_bench_worker_teardown_hang_keeps_headline():
+    """Code-review r5: a worker that prints its valid headline and THEN
+    HANGS in teardown (the dead-tunnel blocking-C++-client mode the watchdog
+    exists for) must keep its measurement — the TimeoutExpired path must
+    look for the headline in the captured output like the nonzero-exit path
+    does, not blindly emit a value=null bench_deadline_exceeded line."""
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="print('{}')",
+        DGTD_BENCH_FAKE_RESULT_FOR_TEST=HEADLINE,
+        DGTD_BENCH_HANG_AFTER_RESULT_FOR_TEST="300",
+        # wide enough for probe-child + worker interpreter startups (~3 s
+        # each with the sitecustomize jax import) BEFORE the headline print;
+        # the 300-s hang then trips the deadline
+        DGTD_BENCH_DEADLINE="25",
+    )
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["value"] == 123.0, rec
+    assert rec["worker_timeout"] is True, rec
+    assert "bench_deadline_exceeded" not in r.stdout
+
+
 def test_bench_worker_clean_exit_without_headline_still_emits_line():
     """A worker that exits 0 without ever printing a valid headline
     (anomalous — wrong metric name, empty output) must still leave the

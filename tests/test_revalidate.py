@@ -84,6 +84,20 @@ def test_collate_empty_sweep_is_clean():
     assert measured == {} and flags == {}
 
 
+def test_collate_partial_record_writes_no_null():
+    """Code-review r5: a matched record MISSING its value field (a check
+    that errored and emitted a partial line) must leave the key out of
+    ``measured`` entirely — a null entry reads as 'measured, value null'."""
+    steps = [{"name": "serving", "lines": [
+        {"check": "predict_704sq_bs1"},  # no ms_per_image
+        {"check": "predict_1024sq_bs1", "ms_per_image": 61.0},
+    ]}]
+    measured, flags = R.collate(steps)
+    assert "serving_704_ms_per_image" not in measured
+    assert measured == {"serving_1024_ms_per_image": 61.0}
+    assert flags == {}
+
+
 def test_drift_handles_missing():
     assert R._drift(None, 10.0) is None
     assert R._drift(11.0, 10.0) == 10.0
