@@ -218,7 +218,7 @@ def main(argv=None):
         platforms=args.platforms,
         meta_extra={"model": model_cfg["type"], "ckpt": args.ckpt, "loaded_params": loaded},
     )
-    print(json.dumps({"exported": args.out, **meta}))
+    print(json.dumps({"exported": args.out, **meta}), flush=True)
 
 
 if __name__ == "__main__":

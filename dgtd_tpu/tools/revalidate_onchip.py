@@ -28,6 +28,14 @@ sweep writes a diagnostic artifact and exits fast — or, with
 moment the tunnel recovers, so it can be left running in the background
 across an outage.
 
+ONE-TPU-PROCESS RULE: the axon tunnel serves strictly one process at a
+time, and the sweep takes it for its full duration (~45-90 min). Do not
+run a second sweep, ``bench.py``, or any other TPU process concurrently —
+the loser's probes time out and a HEALTHY tunnel gets reported as
+``tpu_unreachable``. In wait mode, size ``--wait-max`` so a sweep that
+triggers at the last moment still finishes before any scheduled bench run
+(e.g. a CI driver window) begins.
+
 Usage:
   python -m dgtd_tpu.tools.revalidate_onchip            # full sweep
   python -m dgtd_tpu.tools.revalidate_onchip --wait-for-tunnel   # outage mode
@@ -211,26 +219,44 @@ def _export_child(tiny: bool = False) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _run_step(name: str, cmd: list, timeout_s: float) -> dict:
-    """Run one sweep step; return {'lines': [parsed JSON records], ...}.
-    Failures are recorded, never raised — a partial sweep still writes a
-    useful artifact."""
-    print(f"[revalidate] {name}: {' '.join(cmd)}", flush=True)
-    t0 = time.time()
-    try:
-        r = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO
-        )
-    except subprocess.TimeoutExpired:
-        return {"name": name, "error": f"timeout_{int(timeout_s)}s", "lines": []}
+def _parse_json_lines(stdout) -> list:
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode(errors="replace")
     lines = []
-    for line in (r.stdout or "").splitlines():
+    for line in (stdout or "").splitlines():
         try:
             rec = json.loads(line)
             if isinstance(rec, dict):
                 lines.append(rec)
         except ValueError:
             continue
+    return lines
+
+
+def _run_step(name: str, cmd: list, timeout_s: float) -> dict:
+    """Run one sweep step; return {'lines': [parsed JSON records], ...}.
+    Failures are recorded, never raised — a partial sweep still writes a
+    useful artifact. A step killed at its timeout keeps whatever JSON lines
+    it already printed (a tunnel that dies in a child's TEARDOWN, after the
+    measurements landed, must not discard them — the children flush each
+    record for exactly this path)."""
+    print(f"[revalidate] {name}: {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO
+        )
+    except subprocess.TimeoutExpired as e:
+        out = {
+            "name": name,
+            "error": f"timeout_{int(timeout_s)}s",
+            "lines": _parse_json_lines(e.stdout),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        for rec in out["lines"]:
+            print(f"[revalidate] {name} (pre-timeout) -> {json.dumps(rec)}", flush=True)
+        return out
+    lines = _parse_json_lines(r.stdout)
     out = {"name": name, "rc": r.returncode, "lines": lines, "wall_s": round(time.time() - t0, 1)}
     if r.returncode != 0:
         out["stderr_tail"] = (r.stderr or "")[-500:]
@@ -286,11 +312,15 @@ def _gate_on_tunnel(args) -> tuple:
     timeout — hours of burned window). Returns (ok, gate_record). With
     ``--wait-for-tunnel``, re-probes every ``--wait-retry`` seconds until
     ``--wait-max`` is exhausted, so the sweep self-triggers on recovery."""
-    from ..utils.tpu_probe import backend_is_forced_cpu, probe_tpu_retrying
+    from ..utils.tpu_probe import probe_tpu_retrying
 
-    if backend_is_forced_cpu():
-        # CPU-forced process tree (CI smoke): nothing can hang, no gate needed
-        return True, {"gate": "skipped_cpu_forced"}
+    # The hang hazard lives in the CHILD steps, which inherit only the
+    # ENVIRONMENT — an in-process jax.config CPU forcing in THIS process
+    # (backend_is_forced_cpu's other arm) would not protect them, so the
+    # gate may only be skipped when the axon plugin can't register in the
+    # children either: a falsy pool var (CI smoke / non-axon hosts).
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True, {"skipped": "axon_unconfigured"}
 
     def _announce(record, sleep_s):
         print(

@@ -107,7 +107,11 @@ def check_predict(size: int, iters: int = 4):
                 "compile_plus_bench_s": round(total + init_s, 1),
                 "device": str(jax.devices()[0]),
             }
-        )
+        ),
+        # under the revalidation sweep stdout is a captured pipe (block-
+        # buffered): each completed check must hit the pipe immediately or a
+        # later teardown hang + timeout kill discards it from the sweep
+        flush=True,
     )
 
 
@@ -187,7 +191,7 @@ def check_diffusion(grid: int, c: int = 24, kernel: int = 7, steps: int = 4, ite
     ):
         if isinstance(results[num], float) and isinstance(results["pallas_planes_ms"], float):
             results[ratio] = round(results[num] / results["pallas_planes_ms"], 2)
-    print(json.dumps(results))
+    print(json.dumps(results), flush=True)  # captured-pipe buffering: see check_predict
 
 
 def main(argv=None):

@@ -89,9 +89,11 @@ def probe_tpu(timeout: float | None = None) -> Dict:
     return {"ok": True, "probe_s": probe_s, **info}
 
 
-#: probe-child backend reports that count as a live TPU (None = a probe
-#: payload that reports no backend field, e.g. the bare '{}' test fake)
-LIVE_TPU_BACKENDS = (None, "tpu", "axon")
+#: probe-child backend reports that count as a live TPU. A probe child that
+#: exits 0 WITHOUT a parseable backend report is a protocol failure, not a
+#: live chip — treating it as live would wave through exactly the class of
+#: silent fallback the probe exists to catch (backend=None is NOT accepted).
+LIVE_TPU_BACKENDS = ("tpu", "axon")
 
 
 def probe_tpu_retrying(retry_every: float, can_retry, on_wait=None) -> tuple:
@@ -109,18 +111,16 @@ def probe_tpu_retrying(retry_every: float, can_retry, on_wait=None) -> tuple:
     ``error`` (``tpu_backend_unavailable`` when the probe child silently
     fell back to a non-TPU backend — never publish a CPU number under a
     per-chip metric)."""
-    import time as _time
-
-    t0 = _time.time()
+    t0 = time.time()
     attempts = 0
     while True:
         attempts += 1
-        t_attempt = _time.time()
+        t_attempt = time.time()
         probe = probe_tpu()
         ok = probe.pop("ok", False)
         record = {
             "probe_attempts": attempts,
-            "waited_s": round(_time.time() - t0, 1),
+            "waited_s": round(time.time() - t0, 1),
             **probe,
         }
         if ok and probe.get("backend") in LIVE_TPU_BACKENDS:
@@ -128,13 +128,13 @@ def probe_tpu_retrying(retry_every: float, can_retry, on_wait=None) -> tuple:
         record["error"] = (
             probe.get("error", "tpu_unreachable") if not ok else "tpu_backend_unavailable"
         )
-        elapsed = _time.time() - t0
-        sleep_s = max(0.0, retry_every - (_time.time() - t_attempt))
+        elapsed = time.time() - t0
+        sleep_s = max(0.0, retry_every - (time.time() - t_attempt))
         if not can_retry(elapsed, sleep_s):
             return False, record
         if on_wait is not None:
             on_wait(record, sleep_s)
-        _time.sleep(sleep_s)
+        time.sleep(sleep_s)
 
 
 def backend_already_initialized() -> bool:

@@ -45,3 +45,27 @@ except Exception:  # older jax: fall back to XLA flag (works pre-backend-init)
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# --- shared helpers for watchdog-style subprocess tests ---------------------
+
+#: DGTD_TPU_PROBE_CMD payload faking an instantly-live TPU probe child. The
+#: probe contract requires an explicit backend report — a bare '{}' is a
+#: protocol failure, not a live chip (utils/tpu_probe.LIVE_TPU_BACKENDS).
+FAKE_LIVE_PROBE = (
+    "import json; print(json.dumps({'backend': 'tpu', 'n_devices': 1}))"
+)
+
+
+def tpu_like_env(**extra):
+    """Env for a subprocess that must BELIEVE it targets TPU: strip this
+    conftest's CPU forcing, keep the axon pool var truthy (the
+    tunnel-configured state the watchdogs defend against — a falsy pool var
+    means the plugin never registers and nothing can hang). Fake probe
+    payloads never import jax, and callers put an outer timeout on every
+    subprocess, so a regression shows up as a failure, not a hang."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PALLAS_AXON_POOL_IPS"] = env.get("PALLAS_AXON_POOL_IPS") or "127.0.0.1"
+    env.update(extra)
+    return env

@@ -13,21 +13,10 @@ import subprocess
 import sys
 import time
 
+from conftest import FAKE_LIVE_PROBE, tpu_like_env as _tpu_like_env
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
-
-# Env for a child that must BELIEVE it targets TPU: strip the conftest's CPU
-# forcing and keep the axon pool var TRUTHY (the tunnel-configured state the
-# watchdog defends against — a falsy pool var means the plugin never
-# registers and nothing can hang). The fake probe payloads never import jax,
-# and every subprocess below carries an outer timeout, so a regression shows
-# up as a test failure, not a hang.
-def _tpu_like_env(**extra):
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env["PALLAS_AXON_POOL_IPS"] = env.get("PALLAS_AXON_POOL_IPS") or "127.0.0.1"
-    env.update(extra)
-    return env
 
 
 def _last_json_line(stdout: str) -> dict:
@@ -94,7 +83,7 @@ def test_bench_deadline_covers_mid_bench_hang():
     """Probe succeeds but the worker hangs (tunnel died mid-bench): the
     parent's overall deadline kills it and emits the diagnostic line."""
     env = _tpu_like_env(
-        DGTD_TPU_PROBE_CMD="print('{}')",  # instant-success probe
+        DGTD_TPU_PROBE_CMD=FAKE_LIVE_PROBE,  # instant-success probe
         DGTD_BENCH_HANG_FOR_TEST="300",
         DGTD_BENCH_DEADLINE="2",
     )
@@ -286,7 +275,7 @@ def test_bench_worker_teardown_crash_keeps_headline():
     a value=null bench_worker_exit line — the parent re-emits the headline
     LAST, tagged with the worker's exit code."""
     env = _tpu_like_env(
-        DGTD_TPU_PROBE_CMD="print('{}')",
+        DGTD_TPU_PROBE_CMD=FAKE_LIVE_PROBE,
         DGTD_BENCH_FAKE_RESULT_FOR_TEST=HEADLINE,
         DGTD_BENCH_FAKE_EXIT_FOR_TEST="3",
     )
@@ -305,6 +294,29 @@ def test_bench_worker_teardown_crash_keeps_headline():
     assert "bench_worker_exit_3" not in r.stdout
 
 
+def test_probe_without_backend_report_is_not_live():
+    """Code-review r5: a probe child that exits 0 WITHOUT a parseable
+    backend report (payload override, stdout pollution, lost buffered line)
+    is a protocol failure, not a live chip — the bench must refuse to
+    proceed, like the CPU-fallback case."""
+    env = _tpu_like_env(
+        DGTD_TPU_PROBE_CMD="print('{}')",  # exits 0, reports no backend
+        DGTD_BENCH_DEADLINE="10",
+    )
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["error"] == "tpu_backend_unavailable", rec
+    assert rec["value"] is None
+
+
 def test_bench_worker_teardown_hang_keeps_headline():
     """Code-review r5: a worker that prints its valid headline and THEN
     HANGS in teardown (the dead-tunnel blocking-C++-client mode the watchdog
@@ -312,7 +324,7 @@ def test_bench_worker_teardown_hang_keeps_headline():
     look for the headline in the captured output like the nonzero-exit path
     does, not blindly emit a value=null bench_deadline_exceeded line."""
     env = _tpu_like_env(
-        DGTD_TPU_PROBE_CMD="print('{}')",
+        DGTD_TPU_PROBE_CMD=FAKE_LIVE_PROBE,
         DGTD_BENCH_FAKE_RESULT_FOR_TEST=HEADLINE,
         DGTD_BENCH_HANG_AFTER_RESULT_FOR_TEST="300",
         # wide enough for probe-child + worker interpreter startups (~3 s
@@ -340,7 +352,7 @@ def test_bench_worker_clean_exit_without_headline_still_emits_line():
     (anomalous — wrong metric name, empty output) must still leave the
     driver ONE parseable JSON line: a bench_no_headline diagnostic."""
     env = _tpu_like_env(
-        DGTD_TPU_PROBE_CMD="print('{}')",
+        DGTD_TPU_PROBE_CMD=FAKE_LIVE_PROBE,
         DGTD_BENCH_FAKE_RESULT_FOR_TEST='{"metric": "wrong_metric", "value": 1.0}',
     )
     r = subprocess.run(
@@ -363,7 +375,7 @@ def test_bench_partial_output_does_not_glue_diagnostic():
     unterminated fragment then hangs past the deadline; the last line of
     parent output must still be a clean parseable diagnostic."""
     env = _tpu_like_env(
-        DGTD_TPU_PROBE_CMD="print('{}')",
+        DGTD_TPU_PROBE_CMD=FAKE_LIVE_PROBE,
         DGTD_BENCH_PARTIAL_FOR_TEST='{"metric": "cod_bf16_partial_fragment',
         DGTD_BENCH_HANG_FOR_TEST="300",
         DGTD_BENCH_DEADLINE="3",

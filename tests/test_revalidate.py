@@ -84,6 +84,22 @@ def test_collate_empty_sweep_is_clean():
     assert measured == {} and flags == {}
 
 
+def test_run_step_timeout_keeps_flushed_lines():
+    """Code-review r5: a step child that printed (and flushed) its
+    measurement lines and THEN hung in teardown keeps them — the
+    TimeoutExpired path parses e.stdout instead of discarding it."""
+    cmd = [
+        sys.executable, "-c",
+        "print('{\"check\": \"predict_704sq_bs1\", \"ms_per_image\": 26.6}',"
+        " flush=True); import time; time.sleep(120)",
+    ]
+    step = R._run_step("fake", cmd, timeout_s=10)
+    assert step["error"] == "timeout_10s"
+    assert step["lines"] == [{"check": "predict_704sq_bs1", "ms_per_image": 26.6}]
+    measured, _ = R.collate([step])
+    assert measured == {"serving_704_ms_per_image": 26.6}
+
+
 def test_collate_partial_record_writes_no_null():
     """Code-review r5: a matched record MISSING its value field (a check
     that errored and emitted a partial line) must leave the key out of
@@ -103,15 +119,7 @@ def test_drift_handles_missing():
     assert R._drift(11.0, 10.0) == 10.0
 
 
-def _tpu_like_env(**extra):
-    """A child that must BELIEVE it targets TPU: strip the conftest's CPU
-    forcing, keep the axon pool var truthy (same recipe as the bench
-    watchdog tests). The fake probes never import jax, so nothing hangs."""
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env["PALLAS_AXON_POOL_IPS"] = env.get("PALLAS_AXON_POOL_IPS") or "127.0.0.1"
-    env.update(extra)
-    return env
+from conftest import tpu_like_env as _tpu_like_env  # noqa: E402 (shared recipe)
 
 
 def test_sweep_gates_fast_on_dead_tunnel(tmp_path):
@@ -173,6 +181,29 @@ def test_sweep_wait_mode_runs_on_tunnel_recovery(tmp_path):
     assert "error" not in artifact, artifact
     assert artifact["gate"]["probe_attempts"] == 3
     assert artifact["gate"]["backend"] == "tpu"
+
+
+def test_sweep_gate_skipped_when_axon_unconfigured(tmp_path):
+    """A falsy pool var means the axon plugin can't register in the child
+    steps either — the gate is skipped with a flat, schema-stable record
+    (the skip must key off the ENVIRONMENT the children inherit, not this
+    process's in-process jax.config state)."""
+    out = tmp_path / "REVAL.json"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "dgtd_tpu.tools.revalidate_onchip",
+         "--skip-bench", "--skip-serving", "--skip-msda", "--skip-export",
+         "--out", str(out)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    artifact = json.loads(out.read_text())
+    assert artifact["gate"] == {"skipped": "axon_unconfigured"}
+    assert "error" not in artifact
 
 
 def test_sweep_wait_mode_gives_up_at_wait_max(tmp_path):
