@@ -28,6 +28,9 @@ class Hook:
     def before_train(self, runner):  # noqa: D401
         pass
 
+    def before_train_epoch(self, runner):
+        pass
+
     def before_val(self, runner):
         pass
 
@@ -59,6 +62,14 @@ class LoggerHook(Hook):
         self._pending = None
 
     def before_train(self, runner):
+        self._t0 = time.time()
+        self._last_step = runner.host_step
+
+    def before_train_epoch(self, runner):
+        # reset the throughput window: between epochs the runner may have
+        # paid a checkpoint save and a full val run — folding that pause
+        # into the next interval's imgs_per_sec would report a false
+        # slowdown every val_interval epochs
         self._t0 = time.time()
         self._last_step = runner.host_step
 

@@ -226,17 +226,40 @@ class Runner:
             target = jax.device_get(self.state)
             restored = ckptr.restore(os.path.abspath(path), target)
             self.state = jax.device_put(restored, self.repl_sharding)
+            self.log({"restored": path})
         else:
-            from .hooks import graft_flat_params, load_npz_tree
+            # npz: route through the layout contract's single source —
+            # load_flat_checkpoint normalizes ALL our npz layouts (the
+            # trainer's params/-prefixed fallback, `convert_ckpt full`'s
+            # BARE param keys + batch_stats/ prefix, bare pretrain trees).
+            # The old direct 'params/'-prefix graft silently loaded ZERO
+            # params from a convert_ckpt-full npz — the exact checkpoint the
+            # benchmark runbook passes as val_ckpt (docs/BENCHMARK.md §0).
+            from .hooks import graft_flat_params, load_flat_checkpoint
 
-            flat = load_npz_tree(path)
-            params, loaded, _ = graft_flat_params(self.state.params, flat, prefix="params/")
-            stats, _, _ = graft_flat_params(
-                self.state.batch_stats, flat, prefix="batch_stats/"
+            flat = load_flat_checkpoint(path)
+            wrapped = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
+            new_vars, loaded, missed = graft_flat_params(wrapped, flat)
+            n_params = sum(k.startswith("params/") for k in loaded)
+            if n_params == 0:
+                raise ValueError(
+                    f"restore_checkpoint: 0 of {len(flat)} arrays from {path} "
+                    "matched the model's param tree — wrong checkpoint for "
+                    "this model/config? (benchmarking would silently run on "
+                    "random init)"
+                )
+            # grafted leaves are host arrays — restore the replicated mesh
+            # layout (the orbax branch and _PretrainInit._load both do; a
+            # mixed-placement tree breaks jitted steps on multi-chip hosts)
+            new_vars = jax.device_put(new_vars, self.repl_sharding)
+            self.state = self.state.replace(
+                params=new_vars["params"], batch_stats=new_vars["batch_stats"]
             )
-            self.state = self.state.replace(params=params, batch_stats=stats)
+            self.log({"restored": path, "loaded": len(loaded), "missed": len(missed)})
         self.host_step = int(self.state.step)
-        self.log({"restored": path})
 
     def resume(self, path: str, steps_per_epoch: int = None) -> None:
         """Restore a checkpoint and recover the epoch counter."""
@@ -244,6 +267,15 @@ class Runner:
         spe = steps_per_epoch or (len(self.train_loader) if self.train_loader else 1)
         self.host_step = int(self.state.step)
         self.epoch = self.host_step // max(spe, 1)
+        # Mid-epoch preemption checkpoints (preempt_step_N) land with a
+        # partial epoch behind them: re-entering that epoch must SKIP the
+        # batches already trained, or they train twice and state.step
+        # desyncs from epoch boundaries for the rest of the run (the LR
+        # schedule derives its epoch from step // steps_per_epoch,
+        # optim.py::cosine_epoch_schedule). The shuffle stream makes the
+        # skip exact: loop epoch N consumes the (seed, N-1) ordering, and
+        # loader.epoch below is restored to exactly that stream position.
+        self._resume_skip = self.host_step % max(spe, 1)
         if self.train_loader is not None:
             # continue the per-epoch shuffle stream instead of replaying
             # epoch-0 order (epoch seeds the shuffle rng in DataLoader)
@@ -251,7 +283,13 @@ class Runner:
         #: init hooks consult this: re-grafting ImageNet pretrains over a
         #: resumed checkpoint would silently discard the fine-tuned backbone
         self.resumed = True
-        self.log({"resumed_at_epoch": self.epoch, "step": self.host_step})
+        self.log(
+            {
+                "resumed_at_epoch": self.epoch,
+                "step": self.host_step,
+                "skip_batches": self._resume_skip,
+            }
+        )
 
     # ------------------------------------------------------------------
     def _install_preemption_handler(self) -> None:
@@ -285,7 +323,16 @@ class Runner:
         try:
             while self.epoch < self.max_epochs:
                 self.epoch += 1
-                for batch in self.train_loader:
+                for h in self.hooks:
+                    h.before_train_epoch(self)
+                # consumed only on the FIRST epoch after a mid-epoch resume
+                # (see resume()); the skipped batches were already trained
+                # before the preemption
+                skip = getattr(self, "_resume_skip", 0)
+                self._resume_skip = 0
+                for i, batch in enumerate(self.train_loader):
+                    if i < skip:
+                        continue
                     arrays = {k: batch[k] for k in ("input", "label", "depth")}
                     self.state, aux = self._train_step(self.state, arrays, self.train_rng)
                     self.host_step += 1
@@ -393,7 +440,17 @@ class Runner:
             gathered = multihost_utils.process_allgather(vals)
             results = {k: float(v) for k, v in zip(keys, np.mean(gathered, axis=0))}
         results["val_imgs_per_sec"] = round(n_images / max(time.time() - t0, 1e-9), 2)
-        self.log({"epoch": self.epoch, **{k: round(v, 5) for k, v in results.items()}})
+        # "step" included so the val metrics reach the visualization
+        # backends too — Runner.log only forwards records with a step to
+        # chart against (train curves without val curves is a silent
+        # observability gap on long runs)
+        self.log(
+            {
+                "epoch": self.epoch,
+                "step": self.host_step,
+                **{k: round(v, 5) for k, v in results.items()},
+            }
+        )
         return results
 
     def _dump_visualizations(self, vis_dir: str, batch, prob_np, extras=None) -> None:

@@ -210,6 +210,7 @@ def build_optimizer(
     custom_keys: Optional[Dict[str, float]] = None,
     betas: Tuple[float, float] = (0.9, 0.999),
     grad_clip: Optional[float] = None,
+    grad_clip_norm: Optional[float] = None,
     flatten: bool = False,
     frozen_prefixes: Tuple[str, ...] = (),
     bf16_state: bool = False,
@@ -228,6 +229,9 @@ def build_optimizer(
     chain = []
     if grad_clip:
         chain.append(optax.clip(grad_clip))
+    if grad_clip_norm:
+        # MMEngine clip_grad {max_norm: X} == torch clip_grad_norm_ (global)
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
     if bf16_state:
         # AdamW decomposition with bf16 m/v (scale_by_adam_bf16): same
         # decoupled-decay placement as optax.adamw
@@ -272,6 +276,8 @@ def build_from_config(
     if custom:
         # translate reference dotted keys to this package's tree paths
         custom_keys = {}
+        implicit = set()  # expansion keys we add ourselves — exempt from the
+        # zero-match typo guard below (a model variant may lack the node)
         for key, spec in custom.items():
             mult = spec.get("lr_mult", 1.0) if isinstance(spec, dict) else float(spec)
             key = key.replace("hitnet.backbone.prompt_encoder", "hitnet/prompt_encoder")
@@ -279,8 +285,10 @@ def build_from_config(
             key = key.replace(".", "/")
             if key == "hitnet/backbone":
                 # reference: prompt modules live under backbone — cover them
-                custom_keys.setdefault("hitnet/prompt_encoder", mult)
-                custom_keys.setdefault("hitnet/prompt_decoder", mult)
+                for extra in ("hitnet/prompt_encoder", "hitnet/prompt_decoder"):
+                    if extra not in custom_keys:
+                        custom_keys[extra] = mult
+                        implicit.add(extra)
             if key.endswith("encoder2/downsample_layers"):
                 for k2 in ("stem", "down"):
                     custom_keys[key.replace("downsample_layers", k2)] = mult
@@ -290,9 +298,41 @@ def build_from_config(
                 custom_keys[key.replace(f"stages/{idx}", f"stage{idx}")] = mult
                 continue
             custom_keys[key] = mult
-    clip = None
+        # a recipe lr_mult key that matches ZERO param paths is a silent
+        # wrong-LR run (typo, or a reference nesting this translation table
+        # doesn't cover — e.g. the decoder under `backbone`); fail loudly.
+        # Constructor-generated keys are exempt: they enumerate layer ids
+        # programmatically and unmatched ids are structural, not typos.
+        paths = []
+        jax.tree_util.tree_map_with_path(
+            lambda kp, _: paths.append(_keypath_str(kp)), params
+        )
+        unmatched = [
+            k for k in custom_keys
+            if k not in implicit
+            and not any(p.startswith(k) or ("/" + k) in p for p in paths)
+        ]
+        if unmatched:
+            raise ValueError(
+                f"paramwise_cfg.custom_keys entries match no param path: "
+                f"{unmatched} — typo, or a reference module nesting the "
+                "dotted-key translation doesn't cover (train/optim.py)"
+            )
+    clip = clip_norm = None
     if optim_cfg.get("clip_grad"):
-        clip = float(optim_cfg["clip_grad"].get("clip_value", 0)) or None
+        cg = optim_cfg["clip_grad"]
+        # reference form: {type: value, clip_value: X} (config/cod.yml:108-110,
+        # commented there); MMEngine's default form is {max_norm: X}
+        # (torch clip_grad_norm_). Anything else must fail loudly — silently
+        # training unclipped is invisible until divergence.
+        if cg.get("clip_value") is not None:
+            clip = float(cg["clip_value"])
+        elif cg.get("max_norm") is not None:
+            clip_norm = float(cg["max_norm"])
+        else:
+            raise ValueError(
+                f"clip_grad must set clip_value or max_norm, got: {cg}"
+            )
     return build_optimizer(
         params,
         base_lr=float(opt.get("lr", 5e-4)),
@@ -301,6 +341,7 @@ def build_from_config(
         steps_per_epoch=steps_per_epoch,
         custom_keys=custom_keys,
         grad_clip=clip,
+        grad_clip_norm=clip_norm,
         frozen_prefixes=frozen_prefixes,
         bf16_state=bool(optim_cfg.get("bf16_state", False)),
     )

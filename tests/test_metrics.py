@@ -322,6 +322,7 @@ def test_val_device_stats_gating_per_metric():
             state = _State()
             val_loader = batches
             epoch = 0
+            host_step = 0  # the val record carries it to the vis backends
 
             def log(self, rec):
                 pass

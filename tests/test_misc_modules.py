@@ -156,6 +156,91 @@ def test_logger_ignore_last(tmp_path):
     assert [rec["step"] for rec in r2.records] == [3, 6]
 
 
+def test_logger_window_resets_each_epoch(tmp_path):
+    """Review r5: the imgs_per_sec window must reset at epoch start — the
+    gap between epochs holds a checkpoint save and possibly a full val run,
+    and folding that pause into the next interval's rate reports a false
+    slowdown every val_interval epochs."""
+    import time as _t
+
+    r = _FakeRunner(str(tmp_path))
+    h = LoggerHook(interval=2)
+    h.before_train(r)
+    h._t0 -= 500.0  # fake a 500-s inter-epoch pause (val + checkpoint)
+    h.before_train_epoch(r)
+    t_epoch_start = _t.time()
+    r._step = 2
+    h.after_train_iter(r, {"loss": 1.0})
+    (rec,) = r.records
+    # the window began at before_train_epoch, not 500 s ago
+    window = _t.time() - t_epoch_start + 1e-9
+    assert rec["imgs_per_sec"] >= 0.5 * (2 * r.batch_size) / (window + 1.0)
+
+
+def test_clip_grad_config_forms(monkeypatch):
+    """Review r5: the MMEngine {max_norm: X} clip form was silently ignored
+    (training ran unclipped with no signal). Both forms must plumb through;
+    an unrecognized clip_grad block must fail loudly."""
+    import optax
+    import pytest
+
+    from dgtd_tpu.train import optim as O
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    seen = {}
+    orig_norm, orig_clip = optax.clip_by_global_norm, optax.clip
+
+    def spy_norm(n):
+        seen["max_norm"] = n
+        return orig_norm(n)
+
+    def spy_clip(v):
+        seen["clip_value"] = v
+        return orig_clip(v)
+
+    monkeypatch.setattr(optax, "clip_by_global_norm", spy_norm)
+    monkeypatch.setattr(optax, "clip", spy_clip)
+    base = {"optimizer": {"type": "AdamW", "lr": 1e-3}}
+    O.build_from_config(params, {**base, "clip_grad": {"max_norm": 0.5}},
+                        max_epochs=1, steps_per_epoch=1)
+    assert seen.get("max_norm") == 0.5
+    O.build_from_config(
+        params, {**base, "clip_grad": {"type": "value", "clip_value": 0.25}},
+        max_epochs=1, steps_per_epoch=1)
+    assert seen.get("clip_value") == 0.25
+    with pytest.raises(ValueError, match="clip_value or max_norm"):
+        O.build_from_config(params, {**base, "clip_grad": {"norm": 1.0}},
+                            max_epochs=1, steps_per_epoch=1)
+
+
+def test_custom_keys_zero_match_fails_loudly():
+    """Review r5: a recipe lr_mult key matching no param path is a silent
+    wrong-LR run (typo or uncovered reference nesting) — must raise. The
+    hitnet.backbone prompt-module expansion keys are implicit and exempt
+    (model variants may lack those nodes)."""
+    import pytest
+
+    from dgtd_tpu.train.optim import build_from_config
+
+    params = {"hitnet": {"backbone": {"w": jnp.ones((2,), jnp.float32)}}}
+    base = {"optimizer": {"type": "AdamW", "lr": 1e-3}}
+
+    # valid key + the implicit expansion (prompt_* absent here) builds fine
+    build_from_config(
+        params,
+        {**base, "paramwise_cfg": {"custom_keys": {
+            "hitnet.backbone": {"lr_mult": 0.2}}}},
+        max_epochs=1, steps_per_epoch=1,
+    )
+    with pytest.raises(ValueError, match="hitnet/bogus_module"):
+        build_from_config(
+            params,
+            {**base, "paramwise_cfg": {"custom_keys": {
+                "hitnet.bogus_module": {"lr_mult": 0.1}}}},
+            max_epochs=1, steps_per_epoch=1,
+        )
+
+
 def test_checkpoint_max_keep(tmp_path):
     r = _FakeRunner(str(tmp_path))
     h = CheckpointHook(interval=1, max_keep=2)

@@ -64,22 +64,15 @@ def runner(tmp_path_factory):
 
 @pytest.mark.slow
 def test_train_epoch_decreases_loss(runner):
+    from dgtd_tpu.train.hooks import Hook
+
     losses = []
 
-    class Capture:
+    class Capture(Hook):
         priority = 99
-
-        def before_train(self, r):
-            pass
 
         def after_train_iter(self, r, aux):
             losses.append(float(aux["loss"]))
-
-        def after_train_epoch(self, r):
-            pass
-
-        def before_val(self, r):
-            pass
 
     runner.hooks.append(Capture())
     runner.cfg["train_cfg"]["max_epochs"] = 6
@@ -138,6 +131,136 @@ def test_checkpoint_npz_fallback_keeps_batch_stats(runner, monkeypatch):
     )
 
 
+def test_restore_checkpoint_convert_full_layout(runner, tmp_path):
+    """Review r5 (severe): `convert_ckpt full` writes BARE param keys +
+    batch_stats/-prefixed — the layout docs/BENCHMARK.md passes as val_ckpt.
+    Runner.restore_checkpoint's old 'params/'-prefix graft matched ZERO of
+    them and logged success: the documented benchmark command silently
+    scored random init. It must now load them (via load_flat_checkpoint)
+    and refuse a checkpoint that matches nothing."""
+    from dgtd_tpu.train.hooks import flatten_tree
+
+    orig_p = jax.device_get(runner.state.params)
+    orig_s = jax.device_get(runner.state.batch_stats)
+    path = tmp_path / "full_layout.npz"
+    np.savez(
+        path,
+        **{k: np.asarray(v) + 3.0 for k, v in flatten_tree(orig_p).items()},
+        **flatten_tree({"batch_stats": orig_s}),
+    )
+    try:
+        runner.restore_checkpoint(str(path))
+        got = np.asarray(jax.tree.leaves(runner.state.params)[0])
+        np.testing.assert_allclose(got, np.asarray(jax.tree.leaves(orig_p)[0]) + 3.0)
+        # replicated placement restored (multi-chip hosts need it)
+        assert jax.tree.leaves(runner.state.params)[0].sharding.is_fully_replicated
+        # zero-match refusal: benchmarking random init must be impossible
+        bad = tmp_path / "wrong_model.npz"
+        np.savez(bad, **{"not/a/key": np.zeros((2,), np.float32)})
+        with pytest.raises(ValueError, match="0 of 1 arrays"):
+            runner.restore_checkpoint(str(bad))
+    finally:
+        runner.state = runner.state.replace(
+            params=jax.device_put(orig_p, runner.repl_sharding),
+            batch_stats=jax.device_put(orig_s, runner.repl_sharding),
+        )
+
+
+def test_resume_mid_epoch_skip_arithmetic(runner, monkeypatch):
+    """Review r5: resuming a mid-epoch preemption checkpoint must skip the
+    batches the interrupted epoch already trained (resume() records the
+    count; the loop consumes it), or they train twice and step desyncs from
+    epoch boundaries (the LR schedule derives its epoch from step//spe)."""
+    import jax.numpy as jnp
+
+    old = (runner.state, runner.epoch, runner.host_step, runner.train_loader.epoch)
+    monkeypatch.setattr(runner, "restore_checkpoint", lambda p: None)
+    try:
+        runner.state = runner.state.replace(step=jnp.asarray(6, jnp.int32))
+        runner.resume("fake", steps_per_epoch=4)
+        assert runner.epoch == 1 and runner._resume_skip == 2
+        assert runner.train_loader.epoch == 1  # the interrupted epoch's stream
+        # epoch-boundary checkpoint: nothing to skip (prior behavior intact)
+        runner.state = runner.state.replace(step=jnp.asarray(8, jnp.int32))
+        runner.resume("fake", steps_per_epoch=4)
+        assert runner.epoch == 2 and runner._resume_skip == 0
+    finally:
+        runner.state, runner.epoch, runner.host_step = old[0], old[1], old[2]
+        runner.train_loader.epoch = old[3]
+        runner._resume_skip = 0
+        runner.resumed = False
+
+
+@pytest.mark.slow
+def test_mid_epoch_resume_trains_each_batch_once(tmp_path):
+    """End-to-end pin of the skip: the batch sequence a resumed run trains
+    equals exactly the tail the preempted run never saw. Fake train step
+    (no compile) records per-batch fingerprints; loaders share seed/data."""
+    from dgtd_tpu.data.datasets import SyntheticSODDataset
+    from dgtd_tpu.data.loader import DataLoader
+    from dgtd_tpu.train.loop import Runner
+
+    def make(workdir, log):
+        r = Runner(tiny_cfg(workdir), work_dir=str(workdir), seed=11, dtype=jnp.float32)
+        # batch must divide the 8-device data mesh; 32/8 -> 4 steps/epoch
+        ds = SyntheticSODDataset(n=32, size=48)
+        r.train_loader = DataLoader(
+            ds, batch_size=8, shuffle=True, seed=11,
+            sharding=r.data_sharding, drop_last=True,
+        )
+        r.batch_size = 8
+        r.val_interval = 0
+
+        def fake_step(state, arrays, rng):
+            log.append(round(float(np.asarray(arrays["input"]).sum()), 3))
+            return state.replace(step=state.step + 1), {"loss": jnp.float32(0.0)}
+
+        r._train_step = fake_step
+        return r
+
+    seen_a = []
+    a = make(tmp_path / "a", seen_a)
+    a.max_epochs = 2
+    a.train()  # uninterrupted reference run: 2 epochs x 4 steps
+    assert a.host_step == 8 and len(seen_a) == 8
+
+    # preemption-shaped checkpoint: saved at step 6 (mid epoch 2)
+    a.state = a.state.replace(step=jnp.asarray(6, jnp.int32))
+    ckpt = a.save_checkpoint("preempt_step_6")
+
+    seen_c = []
+    c = make(tmp_path / "c", seen_c)
+    c.resume(ckpt)
+    assert c.epoch == 1 and c._resume_skip == 2
+    c.max_epochs = 2
+    c.train()
+    # trains EXACTLY the tail the preempted run never saw — no double-trained
+    # batches, and step realigns with the epoch boundary
+    assert seen_c == seen_a[6:8], (seen_c, seen_a)
+    assert c.host_step == 8 and int(c.state.step) == 8
+
+
+def test_val_record_reaches_vis_backends(runner):
+    """Review r5: Runner.log forwards only records with a 'step' key to the
+    visualization backends — the val record must carry one or a TB/ClearML
+    run charts train curves but never val metrics."""
+    calls = []
+
+    class FakeBackend:
+        def add_scalars(self, scalars, step):
+            calls.append((scalars, step))
+
+    old = getattr(runner, "vis_backends", None)
+    runner.vis_backends = [FakeBackend()]
+    try:
+        results = runner.val()
+    finally:
+        runner.vis_backends = old
+    assert any("COD/Smeasure" in s for s, _ in calls), calls
+    sm = [s["COD/Smeasure"] for s, _ in calls if "COD/Smeasure" in s]
+    assert sm[0] == pytest.approx(results["COD/Smeasure"], abs=1e-4)
+
+
 @pytest.mark.slow
 def test_dqnet_variant_forward():
     from dgtd_tpu.models import DQnet
@@ -171,21 +294,13 @@ def test_training_is_deterministic(tmp_path_factory):
         r.max_epochs = 1
         r.val_interval = 0
         captured = []
+        from dgtd_tpu.train.hooks import Hook
 
-        class Cap:
+        class Cap(Hook):
             priority = 99
-
-            def before_train(self, rr):
-                pass
 
             def after_train_iter(self, rr, aux):
                 captured.append(float(aux["loss"]))
-
-            def after_train_epoch(self, rr):
-                pass
-
-            def before_val(self, rr):
-                pass
 
         r.hooks.append(Cap())
         r.train()
