@@ -37,6 +37,12 @@ class Registry:
     def build(self, cfg: dict, **extra) -> Any:
         """Instantiate from a ``{'type': Name, **kwargs}`` config dict."""
         cfg = dict(cfg)
+        if "type" not in cfg:
+            # a bare KeyError('type') from deep inside runner construction
+            # is unlocatable; name the registry and show the offending block
+            raise KeyError(
+                f"{self.name}: config block has no 'type' key: {cfg!r}"
+            )
         cls = self.get(cfg.pop("type"))
         return cls(**cfg, **extra)
 

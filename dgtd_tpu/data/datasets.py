@@ -135,20 +135,26 @@ class FolderSODDataset:
             inp = pixelops.resize_normalize(img_u8, size, IMAGENET_MEAN, IMAGENET_STD, flip)
             label = pixelops.resize_normalize(self._decode(self.gts[index], "L"), size, flip=flip)
             depth = pixelops.resize_normalize(self._decode(self.depths[index], "L"), size, flip=flip)
-            # reference contract: raw is the resized image WITHOUT flip or
-            # normalization (raw_transform = Compose([Resize]) only,
-            # camo_test.py:28-30, cod10k_camo_train.py:47)
-            raw = self.images[index] if self.raw_as_path else pixelops.resize_normalize(img_u8, size)
+            # reference contract: raw is the resized UNNORMALIZED image,
+            # FLIPPED in lockstep with input — train raw_transform includes
+            # RandomHorizontalFlip under the same re-seeded rng
+            # (cod10k_camo_train.py:47-50,75); test datasets never flip
+            raw = (
+                self.images[index]
+                if self.raw_as_path
+                else pixelops.resize_normalize(img_u8, size, flip=flip)
+            )
             return {"raw": raw, "input": inp, "label": label, "depth": depth}
 
         image = self._load_resized(self.images[index], "RGB")
         label = self._load_resized(self.gts[index], "L")
         depth = self._load_resized(self.depths[index], "L")
-        raw = self.images[index] if self.raw_as_path else image  # pre-flip (see above)
         if flip:
             image = image[:, ::-1].copy()
             label = label[:, ::-1].copy()
             depth = depth[:, ::-1].copy()
+        # raw flips in lockstep with input (see the native-path note above)
+        raw = self.images[index] if self.raw_as_path else image
         return {
             "raw": raw,
             "input": (image - IMAGENET_MEAN) / IMAGENET_STD,
@@ -159,8 +165,9 @@ class FolderSODDataset:
     def _get_uint8(self, index: int, size, flip: bool) -> Dict[str, np.ndarray]:
         """uint8-ingest path: resized (optionally flipped) uint8 HWC arrays;
         normalization happens inside the jitted step (data/device_norm.py).
-        ``raw`` keeps its reference contract (path, or the resized UNFLIPPED
-        image — as uint8 here; the visualizer handles both dtypes)."""
+        ``raw`` keeps its reference contract (path, or the resized image
+        flipped in lockstep with input — as uint8 here; the visualizer
+        handles both dtypes)."""
         if self.pipeline == "native":
             from ..native import pixelops
 
@@ -181,10 +188,9 @@ class FolderSODDataset:
         inp = resize(img_u8, flip)
         label = resize(self._decode(self.gts[index], "L")[..., None], flip)
         depth = resize(self._decode(self.depths[index], "L")[..., None], flip)
-        if self.raw_as_path:
-            raw = self.images[index]
-        else:  # unflipped resize == inp when not flipped: skip the rework
-            raw = inp if not flip else resize(img_u8, False)
+        # raw flips in lockstep with input — which is exactly ``inp`` here
+        # (the resized, flipped, unnormalized uint8 image)
+        raw = self.images[index] if self.raw_as_path else inp
         return {"raw": raw, "input": inp, "label": label, "depth": depth}
 
     # torch-style convenience (no augmentation rng)
@@ -197,7 +203,9 @@ class FolderSODDataset:
 class COD10K_CAMO_TRAIN(FolderSODDataset):
     """COD train (COD10K+CAMO), 384², paired flips (cod10k_camo_train.py:12).
 
-    ``raw`` = resized un-flipped image (cod10k_camo_train.py:75)."""
+    ``raw`` = resized unnormalized image, flipped in lockstep with input —
+    the reference raw_transform includes RandomHorizontalFlip under the
+    shared re-seeded rng (cod10k_camo_train.py:47-50,75)."""
 
     image_subdir = "Imgs"
     train_mode = True

@@ -127,11 +127,17 @@ def _divisible(sharding, shape) -> bool:
 
 
 def collate(samples) -> Dict[str, Any]:
-    """Stack sample dicts into NHWC numpy batches; pass strings through."""
+    """Stack sample dicts into NHWC numpy batches; pass strings through.
+
+    ``raw`` stays a per-sample LIST (str or array): it is host-side only,
+    consumed per row (visualization naming / PNG dumps — train/loop.py), and
+    the multi-host path re-indexes it by global row anyway. Stacking it was
+    a pure memcpy on the batch-assembly hot path (~56 MB/batch at 384² bs32)
+    with no consumer of the stacked form."""
     out: Dict[str, Any] = {}
     for key in samples[0]:
         vals = [s[key] for s in samples]
-        if isinstance(vals[0], str):
+        if key == "raw" or isinstance(vals[0], str):
             out[key] = vals
         else:
             out[key] = np.stack(vals, axis=0)
@@ -296,23 +302,50 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # epoch (exception in the train step, preemption early-return,
+            # plain break): a producer blocked forever in q.put would leak
+            # its thread AND prefetch+1 device_put batches per abandoned
+            # epoch for the life of the process
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for c in chunks:
-                    q.put(self._make_batch(c))
-                q.put(sentinel)
+                    if stop.is_set() or not _put(self._make_batch(c)):
+                        return
+                _put(sentinel)
             except BaseException as e:  # noqa: BLE001
                 # surface the failure in the consumer — swallowing it would
                 # silently truncate the epoch (short training, wrong metrics)
-                q.put(e)
+                _put(e)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True, name="dgtd-prefetch")
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on normal exhaustion AND on GeneratorExit (abandoned
+            # iterator): release the producer and drop queued batch refs
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

@@ -85,6 +85,35 @@ def test_folder_dataset_pipelines(tmp_path):
         b = ds.get(1, _np.random.default_rng(12345))
         _np.testing.assert_allclose(a["input"], b["input"])
         _np.testing.assert_allclose(a["depth"], b["depth"])
+
+    # raw flips in LOCKSTEP with input (review r5: the reference's train
+    # raw_transform includes RandomHorizontalFlip under the same re-seeded
+    # rng, cod10k_camo_train.py:47-50 — raw used to stay unflipped here,
+    # mirror-mispairing raw against input/label on every flipped sample)
+    class _AlwaysFlip:
+        def random(self):
+            return 0.0  # < 0.5 -> flip
+
+    class _NeverFlip:
+        def random(self):
+            return 1.0
+
+    for pipeline in ("pil", "native"):
+        for uint8_io in (False, True):
+            ds = COD10K_CAMO_TRAIN(
+                str(root), "Depth", "train", image_size=64,
+                pipeline=pipeline, uint8_io=uint8_io,
+            )
+            flipped = ds.get(0, _AlwaysFlip())
+            plain = ds.get(0, _NeverFlip())
+            _np.testing.assert_allclose(
+                _np.asarray(flipped["raw"]),
+                _np.asarray(plain["raw"])[:, ::-1],
+                err_msg=f"raw not flipped in lockstep ({pipeline}, u8={uint8_io})",
+            )
+            _np.testing.assert_allclose(
+                _np.asarray(flipped["input"]), _np.asarray(plain["input"])[:, ::-1]
+            )
 """Hook semantics: LoggerHook.ignore_last + CheckpointHook.max_keep."""
 
 import os
@@ -633,6 +662,36 @@ def test_loader_multiprocess_branch_assembles(monkeypatch):
     assert np.array_equal(
         np.asarray(batches[1]["input"])[:, 0, 0], np.arange(8, 12, dtype=np.float32)
     )
+
+
+def test_loader_prefetch_producer_exits_on_abandoned_epoch():
+    """Review r5: abandoning a prefetching epoch mid-iteration (train-step
+    exception, preemption early-return, break) used to leave the producer
+    thread blocked in q.put forever, pinning prefetch+1 device_put batches.
+    The generator's finally must release it."""
+    import threading
+    import time as _t
+
+    from dgtd_tpu.data.datasets import SyntheticSODDataset
+    from dgtd_tpu.data.loader import DataLoader
+
+    ds = SyntheticSODDataset(n=32, size=8)
+    loader = DataLoader(ds, batch_size=2, device_put=False, prefetch=2)
+    it = iter(loader)
+    next(it)  # producer running, queue filling
+    it.close()  # abandon mid-epoch -> GeneratorExit -> finally
+    deadline = _t.time() + 5.0
+    while _t.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "dgtd-prefetch" and t.is_alive()]
+        if not alive:
+            break
+        _t.sleep(0.05)
+    assert not alive, "prefetch producer still alive after iterator close"
+
+    # normal exhaustion still yields every batch exactly once
+    batches = list(iter(loader))
+    assert len(batches) == len(loader)
 
 
 def test_loader_indivisible_train_batch_fails_loudly():

@@ -91,7 +91,8 @@ def test_dataset_uint8_io_matches_float_pipeline(tmp_path, pipeline):
             np.testing.assert_allclose(
                 u[k].astype(np.float32) / 255.0, f[k], atol=1.5 / 255.0
             )
-        # raw contract: resized UNFLIPPED image (uint8 here)
+        # raw contract: resized image, flipped in lockstep with input
+        # (uint8 here; no rng in this loop so no flip either way)
         assert u["raw"].dtype == np.uint8 and u["raw"].shape == (32, 32, 3)
 
 
