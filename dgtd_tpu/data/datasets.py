@@ -258,7 +258,9 @@ class NC4K(FolderSODDataset):
 class SOD_TRAIN(FolderSODDataset):
     """RGB-D SOD train, RGB/ image dir, 384² (sod_train.py:12).
 
-    ``raw`` = resized un-flipped image (sod_train.py:74)."""
+    ``raw`` = resized image, flipped in lockstep with input/label (the
+    re-seeded raw_transform includes RandomHorizontalFlip, sod_train.py:46-50,
+    74)."""
 
     image_subdir = "RGB"
     train_mode = True
